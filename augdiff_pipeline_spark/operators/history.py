@@ -1,0 +1,290 @@
+"""Row histories: per-entity (latest-in-window, latest-before-window).
+
+Re-expresses the reference's driver-side getRowHistories + the
+type-specific complete/window/before predicates
+(/root/reference/ad/src/main/scala/RowsToJson.scala:53-244) as DataFrame
+window functions, exploded-join aggregates, and a bounded fixpoint loop:
+
+- top-1-per-group by event time  → row_number() over (partition by id
+  order by timestamp desc) == 1 (A2);
+- "in the update window" = the row came from the current batch (T5);
+  modeled as an ``in_batch`` provenance flag OR-merged on dedup so a row
+  appearing in both the batch and storage still counts as in-window
+  (SURVEY.md §7 watch-list #3);
+- way completeness/window/before quantifiers over nds (RowsToJson:127-161)
+  → explode + bool_and/bool_or aggregates (A6);
+- relation predicates recurse through member relations' *latest* rows
+  (RowsToJson:196-244) → a bounded DataFrame fixpoint: the window flag is
+  a least fixpoint (start false, grow), the before flag a greatest
+  fixpoint (start true, shrink); cycles — which would not terminate in
+  the reference — converge to (false, true) after MAX_REL_DEPTH rounds.
+
+Every structure here is keyed by entity id within one type; rows carry a
+``row`` struct of the full entity-version payload so downstream geometry
+assembly gets the exact winning version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import OSM_COLUMNS
+
+MAX_REL_DEPTH = 8
+
+def _row_struct():
+    # built lazily — Column construction needs an active SparkContext
+    return F.struct(*[F.col(c) for c in OSM_COLUMNS]).alias("row")
+
+
+def dedup_batch_union(rows: DataFrame) -> DataFrame:
+    """Union of batch + fetched state rows (col ``in_batch``) deduped on
+    (id, type, version), keeping the in-batch copy when both exist."""
+    w = Window.partitionBy("id", "type", "version").orderBy(
+        F.col("in_batch").desc(), F.col("timestamp").desc()
+    )
+    flag = F.max("in_batch").over(
+        Window.partitionBy("id", "type", "version")
+    )
+    return (
+        rows.withColumn("in_batch", flag)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _top1(df: DataFrame, flag_col: str, out_name: str) -> DataFrame:
+    """Latest row (timestamp desc) per id among rows where ``flag_col``."""
+    w = Window.partitionBy("id").orderBy(F.col("timestamp").desc(), F.col("version").desc())
+    return (
+        df.filter(F.col(flag_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id"), F.col("row").alias(out_name))
+    )
+
+
+def _histories(df: DataFrame, win_flag: str, before_flag: str) -> DataFrame:
+    """(id, in_row, before_row) from per-row boolean predicate columns
+    (both already conjoined with completeness)."""
+    ids = df.select("id").distinct()
+    in_rows = _top1(df, win_flag, "in_row")
+    before_rows = _top1(df, before_flag, "before_row")
+    return (
+        ids.join(in_rows, "id", "left")
+        .join(before_rows, "id", "left")
+    )
+
+
+def node_histories(rows: DataFrame) -> DataFrame:
+    """Nodes: complete ≡ true; window ≡ in_batch; before ≡ ¬in_batch."""
+    nodes = rows.filter(F.col("type") == "node").select(
+        "id", "timestamp", "version", "in_batch", _row_struct()
+    )
+    nodes = nodes.withColumn("w_ok", F.col("in_batch")).withColumn("b_ok", ~F.col("in_batch"))
+    return _histories(nodes, "w_ok", "b_ok")
+
+
+def way_histories(rows: DataFrame, node_hist: DataFrame) -> DataFrame:
+    """Ways: quantifiers over nds via explode + bool aggregates."""
+    ways = rows.filter(F.col("type") == "way").select(
+        "id", "timestamp", "version", "in_batch", "nds", _row_struct()
+    )
+    node_flags = node_hist.select(
+        F.col("id").alias("nid"),
+        F.col("in_row").isNotNull().alias("n_in"),
+        F.col("before_row").isNotNull().alias("n_before"),
+    )
+    nd = ways.select(
+        "id", "version", F.explode_outer("nds").alias("nd")
+    ).join(node_flags, F.col("nd.ref") == F.col("nid"), "left")
+    agg = nd.groupBy("id", "version").agg(
+        # empty nds (explode_outer null): known=true, any_in=false, all_before=true
+        F.coalesce(F.bool_and(F.col("nid").isNotNull()), F.lit(True)).alias("nds_known"),
+        F.coalesce(F.bool_or(F.coalesce(F.col("n_in"), F.lit(False))), F.lit(False)).alias("any_nd_in"),
+        F.coalesce(F.bool_and(F.coalesce(F.col("n_before"), F.lit(False))), F.lit(True)).alias("all_nd_before"),
+    )
+    # explode_outer emits one null row for empty nds, making nds_known
+    # false there — repaired by the size==0 branch below.
+    ways2 = ways.join(agg, ["id", "version"], "left")
+    size_zero = F.size(F.col("nds")) == 0
+    complete = F.when(size_zero, F.lit(True)).otherwise(F.col("nds_known"))
+    win = F.col("in_batch") | F.when(size_zero, F.lit(False)).otherwise(F.col("any_nd_in"))
+    before = (~F.col("in_batch")) & F.when(size_zero, F.lit(True)).otherwise(F.col("all_nd_before"))
+    ways2 = ways2.withColumn("w_ok", complete & win).withColumn("b_ok", complete & before)
+    return _histories(ways2, "w_ok", "b_ok")
+
+
+def relation_histories(
+    rows: DataFrame, node_hist: DataFrame, way_hist: DataFrame,
+    max_depth: int = MAX_REL_DEPTH,
+) -> DataFrame:
+    rels = rows.filter(F.col("type") == "relation").select(
+        "id", "timestamp", "version", "in_batch", "members", _row_struct()
+    )
+    rel_ids = rels.select("id").distinct()
+    node_ids = node_hist.select(F.col("id").alias("mid")).withColumn("mtype", F.lit("node"))
+    way_ids = way_hist.select(F.col("id").alias("mid")).withColumn("mtype", F.lit("way"))
+    relid_m = rel_ids.select(F.col("id").alias("mid")).withColumn("mtype", F.lit("relation"))
+    known = node_ids.unionByName(way_ids).unionByName(relid_m)
+
+    node_flags = node_hist.select(
+        F.col("id").alias("mid"), F.lit("node").alias("mtype"),
+        F.col("in_row").isNotNull().alias("m_in"),
+        F.col("before_row").isNotNull().alias("m_before"),
+    )
+    way_flags = way_hist.select(
+        F.col("id").alias("mid"), F.lit("way").alias("mtype"),
+        F.col("in_row").isNotNull().alias("m_in"),
+        F.col("before_row").isNotNull().alias("m_before"),
+    )
+    nw_flags = node_flags.unionByName(way_flags)
+
+    # latest relation row per id (RowsToJson:174-178 _relations)
+    wlat = Window.partitionBy("id").orderBy(F.col("timestamp").desc(), F.col("version").desc())
+    latest = (
+        rels.withColumn("_rn", F.row_number().over(wlat))
+        .filter(F.col("_rn") == 1)
+        .select("id", "in_batch", "members")
+    )
+
+    # member tables (exploded once, reused across fixpoint rounds)
+    def _explode(df: DataFrame) -> DataFrame:
+        return df.select("id", "in_batch", F.explode_outer("members").alias("m")).select(
+            "id", "in_batch", F.col("m.type").alias("mtype"), F.col("m.ref").alias("mid")
+        )
+
+    lat_m = _explode(latest).localCheckpoint(eager=True)
+    lat_nw = lat_m.join(nw_flags, ["mtype", "mid"], "left")
+    base = lat_nw.groupBy("id").agg(
+        F.first("in_batch").alias("in_batch"),
+        F.coalesce(
+            F.bool_or((F.col("mtype").isin("node", "way")) & F.coalesce(F.col("m_in"), F.lit(False))),
+            F.lit(False),
+        ).alias("any_nw_in"),
+        F.coalesce(
+            F.bool_and(
+                F.when(F.col("mtype").isin("node", "way"), F.coalesce(F.col("m_before"), F.lit(False)))
+            ),
+            F.lit(True),
+        ).alias("all_nw_before"),
+    )
+    # member-relation references restricted to relations that EXIST in
+    # scope (_relations.get -> flatMap drops missing ones)
+    rel_members = (
+        lat_m.filter(F.col("mtype") == "relation")
+        .join(rel_ids.select(F.col("id").alias("mid")), "mid", "left_semi")
+        .select("id", "mid")
+        .localCheckpoint(eager=True)
+    )
+
+    # fixpoint: rw least (grow from base), rb greatest (shrink from base)
+    state = base.select(
+        "id",
+        (F.col("in_batch") | F.col("any_nw_in")).alias("rw"),
+        ((~F.col("in_batch")) & F.col("all_nw_before")).alias("rb"),
+    ).localCheckpoint(eager=True)
+    if rel_members.isEmpty():
+        max_depth = 0  # no relation-of-relation edges: base is the fixpoint
+    for _ in range(max_depth):
+        child = rel_members.join(
+            state.select(F.col("id").alias("mid"), F.col("rw").alias("c_rw"), F.col("rb").alias("c_rb")),
+            "mid",
+            "left",
+        ).groupBy("id").agg(
+            F.coalesce(F.bool_or(F.coalesce(F.col("c_rw"), F.lit(False))), F.lit(False)).alias("any_child_rw"),
+            F.coalesce(F.bool_and(F.coalesce(F.col("c_rb"), F.lit(False))), F.lit(True)).alias("all_child_rb"),
+        )
+        nxt = (
+            base.join(child, "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("in_batch") | F.col("any_nw_in")
+                    | F.coalesce(F.col("any_child_rw"), F.lit(False))
+                ).alias("rw"),
+                (
+                    (~F.col("in_batch")) & F.col("all_nw_before")
+                    & F.coalesce(F.col("all_child_rb"), F.lit(True))
+                ).alias("rb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(state.alias("s"), "id")
+            .filter((F.col("n.rw") != F.col("s.rw")) | (F.col("n.rb") != F.col("s.rb")))
+            .count()
+        )
+        state = nxt
+        if changed == 0:
+            break
+    rw_rb = state  # per relation id, from its LATEST row
+
+    # per-ROW predicates (keyed by id+version: versions differ in members)
+    row_m = rels.select(
+        "id", "version", F.explode_outer("members").alias("m")
+    ).select("id", "version", F.col("m.type").alias("mtype"), F.col("m.ref").alias("mid"))
+
+    row_nw = row_m.join(nw_flags, ["mtype", "mid"], "left")
+    # completeness: every member's id present in the id set of its type
+    known_flag = known.withColumn("k", F.lit(True))
+    row_complete = (
+        row_m.join(known_flag, ["mtype", "mid"], "left")
+        .groupBy("id", "version")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.when(F.col("mtype").isNotNull(), F.coalesce(F.col("k"), F.lit(False)))),
+                F.lit(True),
+            ).alias("complete")
+        )
+    )
+    row_nwagg = row_nw.groupBy("id", "version").agg(
+        F.coalesce(
+            F.bool_or((F.col("mtype").isin("node", "way")) & F.coalesce(F.col("m_in"), F.lit(False))),
+            F.lit(False),
+        ).alias("any_nw_in"),
+        F.coalesce(
+            F.bool_and(
+                F.when(F.col("mtype").isin("node", "way"), F.coalesce(F.col("m_before"), F.lit(False)))
+            ),
+            F.lit(True),
+        ).alias("all_nw_before"),
+    )
+    row_rel = (
+        row_m.filter(F.col("mtype") == "relation")
+        .join(rel_ids.select(F.col("id").alias("mid")), "mid", "left_semi")
+        .join(rw_rb.select(F.col("id").alias("mid"), "rw", "rb"), "mid", "left")
+        .groupBy("id", "version")
+        .agg(
+            F.coalesce(F.bool_or(F.coalesce(F.col("rw"), F.lit(False))), F.lit(False)).alias("any_rel_rw"),
+            F.coalesce(F.bool_and(F.coalesce(F.col("rb"), F.lit(False))), F.lit(True)).alias("all_rel_rb"),
+        )
+    )
+    rels2 = (
+        rels.join(row_complete, ["id", "version"], "left")
+        .join(row_nwagg, ["id", "version"], "left")
+        .join(row_rel, ["id", "version"], "left")
+        .withColumn("complete", F.coalesce(F.col("complete"), F.lit(True)))
+        .withColumn("any_nw_in", F.coalesce(F.col("any_nw_in"), F.lit(False)))
+        .withColumn("all_nw_before", F.coalesce(F.col("all_nw_before"), F.lit(True)))
+        .withColumn("any_rel_rw", F.coalesce(F.col("any_rel_rw"), F.lit(False)))
+        .withColumn("all_rel_rb", F.coalesce(F.col("all_rel_rb"), F.lit(True)))
+    )
+    win = F.col("in_batch") | F.col("any_nw_in") | F.col("any_rel_rw")
+    before = (~F.col("in_batch")) & F.col("all_nw_before") & F.col("all_rel_rb")
+    rels2 = rels2.withColumn("w_ok", F.col("complete") & win).withColumn(
+        "b_ok", F.col("complete") & before
+    )
+    return _histories(rels2, "w_ok", "b_ok")
+
+
+def all_histories(rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(node_hist, way_hist, rel_hist) from the deduped batch∪state rows."""
+    rows = rows.localCheckpoint(eager=True)
+    nh = node_histories(rows).localCheckpoint(eager=True)
+    wh = way_histories(rows, nh).localCheckpoint(eager=True)
+    rh = relation_histories(rows, nh, wh).localCheckpoint(eager=True)
+    return nh, wh, rh

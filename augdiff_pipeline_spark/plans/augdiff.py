@@ -1,0 +1,136 @@
+"""The per-minutely-batch augmented-diff pipeline (the engine's core DAG).
+
+Spark-first inversion of the reference's driver loop
+(/root/reference/ad/src/main/scala/AugmentedDiff.scala:47-93 + osc2json):
+every stage is a DataFrame op —
+
+  change batch ──┬─ incremental closure (iterative join fixpoint)
+                 │        │ new edges → index table (snapshot append)
+                 │        └ needed pairs
+                 ├─ point-lookup semi-join into clustered state (J1)
+                 ├─ union + provenance-preserving dedup (J6/T5)
+                 ├─ histories: windows + quantifier aggregates (A2/G2)
+                 ├─ per-mode geometry WKB (Arrow kernels, G1/G3/G6)
+                 └─ feature emission (G8) → line-delimited GeoJSON
+
+State/index/lineage/metrics are snapshot-committed tables; the batch's
+own rows append to state AFTER the diff is computed (the diff joins the
+batch against *prior* state), exactly as the reference holds batch rows
+in its memory buffer during rendering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import history, render
+from ..operators.closure import incremental_closure, needed_pairs
+from ..schemas import INDEX_SCHEMA, OSM_COLUMNS
+from ..sources.catalog import SnapshotTable
+from ..sources.state import StateTable
+from .lineage import LineageLog, StageTimer
+
+TYPE_ORDER = {"node": 0, "way": 1, "relation": 2}
+
+
+def compute_batch_features(
+    spark: SparkSession,
+    state: StateTable,
+    index: SnapshotTable,
+    batch_df: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(features_df, new_edges_df) for one change batch (no writes)."""
+    index_df = index.read(spark, schema=INDEX_SCHEMA)
+    new_edges, all_edges = incremental_closure(index_df, batch_df)
+    new_edges = new_edges.localCheckpoint(eager=True)
+    pairs = needed_pairs(batch_df, all_edges)
+    fetched = state.fetch_pairs(spark, pairs)
+
+    rows = (
+        batch_df.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(True))
+        .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
+    )
+    rows = history.dedup_batch_union(rows)
+    nh, wh, rh = history.all_histories(rows)
+
+    node_pts = render.node_points(nh).localCheckpoint(eager=True)
+    way_a = render.way_wkbs(wh, node_pts, "after").localCheckpoint(eager=True)
+    way_b = render.way_wkbs(wh, node_pts, "before").localCheckpoint(eager=True)
+    rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
+    rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
+
+    node_a = _point_wkbs(node_pts, "ax", "ay")
+    node_b = _point_wkbs(node_pts, "bx", "by")
+
+    feats = (
+        render.emit_features(nh, node_a, node_b, "node")
+        .unionByName(render.emit_features(wh, way_a, way_b, "way"))
+        .unionByName(render.emit_features(rh, rel_a, rel_b, "relation"))
+    )
+    return feats, new_edges
+
+
+def _point_wkbs(node_pts: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    pts = node_pts.select("id", F.col(xcol).alias("x"), F.col(ycol).alias("y")).filter(
+        F.col("x").isNotNull()
+    )
+
+    def kernel(it):
+        from ..geometry import core, wkb
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "wkb": [
+                        wkb.dumps(core.Point(float(x), float(y)))
+                        for x, y in zip(pdf["x"], pdf["y"])
+                    ],
+                }
+            )
+
+    return pts.mapInPandas(kernel, "id long, wkb binary")
+
+
+def run_batch(
+    spark: SparkSession,
+    state: StateTable,
+    index: SnapshotTable,
+    log: LineageLog,
+    batch_df: DataFrame,
+    seq: int,
+    out_dir: str,
+) -> dict:
+    """Execute + commit one batch: features file, state/index appends,
+    lineage + metrics rows, single lineage 'commit' marker last."""
+    timer = StageTimer(log, spark, seq)
+    batch_df = batch_df.localCheckpoint(eager=True)
+
+    with timer.time("diff"):
+        feats, new_edges = compute_batch_features(spark, state, index, batch_df)
+        feats = feats.localCheckpoint(eager=True)
+        n_feats = feats.count()
+
+    with timer.time("write_features"):
+        ordered = feats.withColumn(
+            "ord", F.when(F.col("etype") == "node", 0).when(F.col("etype") == "way", 1).otherwise(2)
+        ).orderBy("ord", "id").select("feature")
+        path = os.path.join(out_dir, f"seq={seq:09d}")
+        ordered.coalesce(1).write.mode("overwrite").text(path)
+    log.record_stage(spark, seq, "features", feats)
+
+    with timer.time("state_append"):
+        state_snap = state.append_batch(batch_df, seq)
+    log.record_stage(spark, seq, "state_append", batch_df, output_snapshot=state_snap)
+
+    with timer.time("index_append"):
+        idx_snap = index.append(new_edges, summary={"seq": seq})
+    log.record_stage(spark, seq, "index_append", new_edges, output_snapshot=idx_snap)
+
+    log.record_metric(spark, seq, "diff", "features", float(n_feats))
+    log.commit_seq(spark, seq, {"state": state_snap, "index": idx_snap})
+    return {"seq": seq, "features": n_feats, "state_snapshot": state_snap, "index_snapshot": idx_snap, "path": path}

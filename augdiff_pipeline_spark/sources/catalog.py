@@ -1,0 +1,143 @@
+"""Snapshot-committed parquet tables (Iceberg-shaped semantics).
+
+Production target is Apache Iceberg (spark.read.format("iceberg"), atomic
+snapshot commits, data-skipping statistics); this container ships no
+Iceberg runtime jars, so this module provides the same *contract* over
+plain parquet + an atomically-replaced JSON snapshot log:
+
+- every ``append``/``overwrite`` is an isolated snapshot commit
+  (write data to a fresh directory, then ``os.replace`` the manifest —
+  atomic on POSIX, crash-safe: a half-written commit is invisible);
+- readers resolve a snapshot id (default: current) to a file list —
+  time travel = read an older snapshot id;
+- rollback = commit a new manifest pointing at an older snapshot's
+  files.
+
+The engine's checkpoint/lineage/resume layer (plans/runner.py) keys
+itself on these snapshot ids exactly as it would on Iceberg snapshot
+ids, so swapping in Iceberg changes only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    data_dirs: list[str]
+    committed_at_ms: int
+    summary: dict
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_path = os.path.join(path, "_meta")
+        self.manifest_path = os.path.join(self.meta_path, "snapshots.json")
+        os.makedirs(self.meta_path, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    def snapshots(self) -> list[Snapshot]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            raw = json.load(f)
+        return [Snapshot(**s) for s in raw]
+
+    def current(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def current_id(self) -> int | None:
+        cur = self.current()
+        return cur.snapshot_id if cur else None
+
+    def _commit(self, snap: Snapshot) -> None:
+        snaps = self.snapshots()
+        snaps.append(snap)
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([s.__dict__ for s in snaps], f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic commit point
+
+    # --------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, writer_conf) -> str:
+        d = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if writer_conf:
+            writer = writer_conf(writer)
+        writer.parquet(d)
+        return d
+
+    def append(self, df: DataFrame, operation: str = "append", summary: dict | None = None, writer_conf=None) -> int:
+        d = self._write_data(df, writer_conf)
+        cur = self.current()
+        snap = Snapshot(
+            snapshot_id=(cur.snapshot_id + 1) if cur else 1,
+            parent_id=cur.snapshot_id if cur else None,
+            operation=operation,
+            data_dirs=(cur.data_dirs if cur else []) + [d],
+            committed_at_ms=int(time.time() * 1000),
+            summary=summary or {},
+        )
+        self._commit(snap)
+        return snap.snapshot_id
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None, writer_conf=None) -> int:
+        d = self._write_data(df, writer_conf)
+        cur = self.current()
+        snap = Snapshot(
+            snapshot_id=(cur.snapshot_id + 1) if cur else 1,
+            parent_id=cur.snapshot_id if cur else None,
+            operation="overwrite",
+            data_dirs=[d],
+            committed_at_ms=int(time.time() * 1000),
+            summary=summary or {},
+        )
+        self._commit(snap)
+        return snap.snapshot_id
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        target = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+        cur = self.current()
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            operation="rollback",
+            data_dirs=list(target.data_dirs),
+            committed_at_ms=int(time.time() * 1000),
+            summary={"rolled_back_to": snapshot_id},
+        )
+        self._commit(snap)
+        return snap.snapshot_id
+
+    # ---------------------------------------------------------------- read
+    def read(self, spark: SparkSession, snapshot_id: int | None = None, schema=None) -> DataFrame:
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            snap = snaps[-1] if snaps else None
+        else:
+            snap = next((s for s in snaps if s.snapshot_id == snapshot_id), None)
+            if snap is None:
+                raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+        if snap is None or not snap.data_dirs:
+            if schema is None:
+                raise ValueError(f"empty table {self.path} needs an explicit schema")
+            return spark.createDataFrame([], schema)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*snap.data_dirs)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.manifest_path)
