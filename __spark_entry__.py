@@ -1,38 +1,547 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship: geotagged points derived from sf0.001 join the
+                engine's OSM-fixture polygon layer (broadcast
+                sorted-interval PIP) + kNN + ZXY tiles.
+``queries``   — one entry per implemented operator family (SURVEY.md §2 +
+                the training-data ops); each runs on the driver's
+                TPC-H-ish tables at ``sf_dir``.
+``oracle_sql``— exact DuckDB twins.  All cross-engine expressions use
+                integer arithmetic, shared regex semantics, or identical
+                IEEE-double expression trees (see functions/text.py,
+                functions/mercator.py) so value hashes match bit-for-bit;
+                FP aggregates go through exact decimal sums.
+
+Ops with no SQL expression (MinHash LSH, SimHash, hyperplane ANN) are
+registered without an oracle → driver records rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from augdiff_pipeline_spark.functions import cells, mercator, text
+from augdiff_pipeline_spark.functions.packing import pair_to_long, partition_number
+from augdiff_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from augdiff_pipeline_spark.operators.knn import knn_join
+from augdiff_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+
+# ---------------------------------------------------------------------------
+# deterministic geotag derivations (identical integer arithmetic in both
+# engines; positive keys ⇒ % == pmod)
+# ---------------------------------------------------------------------------
+def _pts_cols(key: F.Column):
+    lon = (F.pmod(key * 7919, F.lit(36000)).cast("double") / 100.0) - 180.0
+    lat = (F.pmod(key * 104729, F.lit(17000)).cast("double") / 100.0) - 85.0
+    return lon, lat
 
 
+def _pts_sql(key: str):
+    lon = f"(cast(({key} * 7919) % 36000 as double) / 100.0 - 180.0)"
+    lat = f"(cast(({key} * 104729) % 17000 as double) / 100.0 - 85.0)"
+    return lon, lat
+
+
+def _rect_cols(key: F.Column):
+    cx, cy = _pts_cols(key)
+    w = (F.pmod(key, F.lit(40)).cast("double") / 10.0) + 1.0
+    h = (F.pmod(key * 31, F.lit(40)).cast("double") / 10.0) + 1.0
+    return cx - w, cy - h, cx + w, cy + h
+
+
+def _rect_sql(key: str):
+    cx, cy = _pts_sql(key)
+    w = f"(cast({key} % 40 as double) / 10.0 + 1.0)"
+    h = f"(cast(({key} * 31) % 40 as double) / 10.0 + 1.0)"
+    return f"({cx} - {w})", f"({cy} - {h})", f"({cx} + {w})", f"({cy} + {h})"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def partition_number_sql(id_expr: str, code_expr: str) -> str:
+    """DuckDB twin of functions/packing.partition_number (integer //)."""
+    cases = " ".join(
+        f"when ({id_expr} // {10**k}) <= 2048 then ({id_expr} // {10**k})"
+        for k in range(17)
+    )
+    return f"xor((case {cases} else 0 end), {code_expr})"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Points derived from sf0.001 lineitem, spatially joined (broadcast
+    sorted-interval PIP) against the engine-built OSM polygon layer,
+    kNN-matched to fixture nodes, ZXY-tiled; returns the per-feature /
+    per-tile rollup."""
+    import pandas as pd
+
+    from augdiff_pipeline_spark import fixtures
+    from augdiff_pipeline_spark.operators.spatial_join import pip_join_broadcast
+    from augdiff_pipeline_spark.plans.polygon_layer import build_polygon_layer
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    # geotags clustered into the fixture world's bbox so the join hits
+    key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    pts = li.select(
+        F.concat(F.lit("li_"), key.cast("string")).alias("image_id"),
+        ((F.pmod(key * 7919, F.lit(2000)).cast("double") / 10000.0) + 10.0).alias("lon"),
+        ((F.pmod(key * 104729, F.lit(2000)).cast("double") / 10000.0) + 50.0).alias("lat"),
+    )
+    layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
+    joined = pip_join_broadcast(pts, layer)
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": list(fixtures.NODE_COORDS.keys()),
+                "lon": [c[0] for c in fixtures.NODE_COORDS.values()],
+                "lat": [c[1] for c in fixtures.NODE_COORDS.values()],
+            }
+        )
+    )
+    nearest = (
+        knn_join(pts, feats, k=1, res=10)
+        .filter(F.col("knn_rank") == 1)
+        .select("image_id", F.col("feature_id").alias("nearest_node"))
+    )
+    tx, ty = mercator.tile_cols(F.col("lon"), F.col("lat"), 14)
+    tiles = pts.select("image_id", tx.alias("x"), ty.alias("y"))
+    enriched = joined.join(nearest, "image_id", "left").join(tiles, "image_id", "left")
+    return (
+        enriched.groupBy("feature_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("nearest_node").alias("n_nearest_nodes"),
+            F.countDistinct("x", "y").alias("n_tiles"),
+        )
+        .orderBy("feature_id")
+    )
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core (SURVEY §2.2/2.3/2.4/2.5/2.6/2.7) ----
+    def q01(spark, sf):  # groupBy + exact-decimal aggs (A7 / TPC-H Q1 shape)
+        li = _t(spark, sf, "lineitem")
+        rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+            "decimal(24,6)"
+        )
+        return (
+            li.filter(F.col("l_shipdate") < F.lit("1997-01-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["q01_group_agg"] = q01
+
+    def q02(spark, sf):  # A2 top-1-per-group by event time
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+
+    q["q02_top1_per_group"] = q02
+
+    def q03(spark, sf):  # J1/J2 left-semi
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000.0)
+        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+
+    q["q03_semi_join"] = q03
+
+    def q04(spark, sf):  # J5 left-anti
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+            "p_partkey", "p_name", "p_size"
+        )
+
+    q["q04_anti_join"] = q04
+
+    def q05(spark, sf):  # U1/A3 union + distinct
+        ev = _t(spark, sf, "events")
+        a = ev.filter(F.col("event_type") == "click").select("user_id")
+        b = ev.filter(F.col("value") > 50.0).select("user_id")
+        return a.unionByName(b).distinct()
+
+    q["q05_union_distinct"] = q05
+
+    def q06(spark, sf):  # P4 explode (posexplode over array<float>)
+        em = _t(spark, sf, "embeddings")
+        return (
+            em.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+            .filter(F.col("pos") < 4)
+            .select(
+                "vec_id",
+                (F.col("pos") + 1).cast("long").alias("ord"),
+                F.col("val").cast("double").alias("val"),
+            )
+        )
+
+    q["q06_explode"] = q06
+
+    def q07(spark, sf):  # F1-F4 packing + partition assignment parity
+        o = _t(spark, sf, "orders")
+        typ = F.element_at(
+            F.array(F.lit("node"), F.lit("way"), F.lit("relation")),
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int"),
+        )
+        return o.select(
+            "o_orderkey",
+            typ.alias("etype"),
+            pair_to_long(F.col("o_orderkey"), typ).alias("packed"),
+            partition_number(F.col("o_orderkey"), typ).alias("p"),
+        )
+
+    q["q07_partition_packing"] = q07
+
+    def q08(spark, sf):  # windowed running aggregate
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        )
+
+    q["q08_running_window"] = q08
+
+    def q09(spark, sf):  # A6 bool_and / bool_or quantifiers
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_orderkey")
+            .agg(
+                F.bool_and(F.col("l_discount") < 0.05).alias("all_low_discount"),
+                F.bool_or(F.col("l_quantity") > 45.0).alias("any_bulk"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["q09_bool_quantifiers"] = q09
+
+    def q10(spark, sf):  # A5 group-collect (sorted, joined to string)
+        c = _t(spark, sf, "customer")
+        return (
+            c.groupBy("c_nationkey")
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_set("c_mktsegment")), ","
+                ).alias("segments"),
+                F.count(F.lit(1)).alias("n_customers"),
+            )
+        )
+
+    q["q10_group_collect"] = q10
+
+    # ---- spatial (J7 / north rule) ----
+    def q11(spark, sf):  # cell-cover equi-join + exact bbox refine
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        plon, plat = _pts_cols(F.col("c_custkey"))
+        pts = c.select(F.col("c_custkey").alias("point_id"), plon.alias("lon"), plat.alias("lat"))
+        x0, y0, x1, y1 = _rect_cols(F.col("s_suppkey"))
+        res = 6
+        n = 1 << res
+        rects = s.select(
+            F.col("s_suppkey").alias("rect_id"),
+            x0.alias("x0"), y0.alias("y0"), x1.alias("x1"), y1.alias("y1"),
+        )
+        ix0, iy0 = cells.ixy_col(F.col("x0"), F.col("y0"), res)
+        ix1, iy1 = cells.ixy_col(F.col("x1"), F.col("y1"), res)
+        rcells = rects.select(
+            "rect_id", "x0", "y0", "x1", "y1",
+            F.explode(F.sequence(ix0, ix1)).alias("ix"),
+            iy0.alias("iy0"), iy1.alias("iy1"),
+        ).select(
+            "rect_id", "x0", "y0", "x1", "y1", "ix",
+            F.explode(F.sequence(F.col("iy0"), F.col("iy1"))).alias("iy"),
+        ).select(
+            "rect_id", "x0", "y0", "x1", "y1",
+            (F.col("ix") * n + F.col("iy")).alias("cell"),
+        )
+        pcell = pts.withColumn("cell", cells.grid_cell_col(F.col("lon"), F.col("lat"), res))
+        return (
+            pcell.join(F.broadcast(rcells), "cell")
+            .filter(
+                (F.col("lon") >= F.col("x0")) & (F.col("lon") <= F.col("x1"))
+                & (F.col("lat") >= F.col("y0")) & (F.col("lat") <= F.col("y1"))
+            )
+            .select("point_id", "rect_id")
+        )
+
+    q["q11_spatial_cell_join"] = q11
+
+    def q12(spark, sf):  # deterministic ZXY tile assignment
+        o = _t(spark, sf, "orders")
+        lon, lat = _pts_cols(F.col("o_orderkey"))
+        tx, ty = mercator.tile_cols(lon, lat, 12)
+        return o.select(
+            F.col("o_orderkey").alias("id"), tx.alias("tile_x"), ty.alias("tile_y")
+        )
+
+    q["q12_tile_assign"] = q12
+
+    def q13(spark, sf):  # kNN ring-expansion join vs brute-force oracle
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        plon, plat = _pts_cols(F.col("c_custkey"))
+        pts = c.select(
+            F.col("c_custkey").cast("string").alias("image_id"),
+            plon.alias("lon"), plat.alias("lat"),
+        )
+        flon, flat = _pts_cols(F.col("s_suppkey") * 13)
+        feats = s.select(
+            F.col("s_suppkey").alias("feature_id"), flon.alias("lon"), flat.alias("lat")
+        )
+        return knn_join(pts, feats, k=3, res=8)
+
+    q["q13_knn_join"] = q13
+
+    # ---- training-data ops ----
+    def q14(spark, sf):
+        return exact_dedup_groups(_t(spark, sf, "documents")).orderBy("fp")
+
+    q["q14_exact_dedup"] = q14
+
+    def q15(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            text.punct_count(F.col("text")).cast("long").alias("n_punct"),
+            text.quality_score(F.col("text")).alias("quality"),
+        )
+
+    q["q15_text_quality"] = q15
+
+    def q16(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+
+    q["q16_lang_id"] = q16
+
+    def q17(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+    q["q17_fingerprint"] = q17
+
+    def q18(spark, sf):  # brute-force cosine top-k (exact ANN baseline)
+        em = _t(spark, sf, "embeddings")
+        return brute_force_topk(em, query_ids=[0, 1, 2, 3, 4], k=5).select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["q18_ann_cosine_topk"] = q18
+
+    # rows-only (non-SQL-expressible): MinHash LSH, SimHash, hyperplane ANN
+    def q19(spark, sf):
+        return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+    q["q19_minhash_pairs"] = q19
+
+    def q20(spark, sf):
+        return simhash_pairs(_t(spark, sf, "documents"), max_hamming=6)
+
+    q["q20_simhash_pairs"] = q20
+
+    def q21(spark, sf):  # event-time rollup (T1 micro-batch analog)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+        )
+
+    q["q21_hourly_rollup"] = q21
+
+    def q22(spark, sf):
+        return lsh_topk(_t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5).select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["q22_lsh_ann"] = q22
+
+    return q
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_group_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+               cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(24,6))) AS double) AS revenue
+        FROM lineitem
+        WHERE l_shipdate < timestamp '1997-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q02_top1_per_group"] = """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+
+    o["q03_semi_join"] = """
+        SELECT c_custkey, c_name, c_nationkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+    """
+
+    o["q04_anti_join"] = """
+        SELECT p_partkey, p_name, p_size FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """
+
+    o["q05_union_distinct"] = """
+        SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id FROM events WHERE value > 50.0
+        )
+    """
+
+    o["q06_explode"] = """
+        SELECT vec_id, ord, val FROM (
+            SELECT vec_id,
+                   cast(generate_subscripts(embedding, 1) AS bigint) AS ord,
+                   cast(unnest(embedding) AS double) AS val
+            FROM embeddings
+        ) WHERE ord <= 4
+    """
+
+    pk = partition_number_sql("o_orderkey", "(o_orderkey % 3)")
+    o["q07_partition_packing"] = f"""
+        SELECT o_orderkey,
+               (CASE (o_orderkey % 3) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END) AS etype,
+               (o_orderkey * 4 + (o_orderkey % 3)) AS packed,
+               {pk} AS p
+        FROM orders
+    """
+
+    o["q08_running_window"] = """
+        SELECT user_id, event_id,
+               cast(sum(cast(value AS decimal(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_value
+        FROM events
+    """
+
+    o["q09_bool_quantifiers"] = """
+        SELECT l_orderkey,
+               bool_and(l_discount < 0.05) AS all_low_discount,
+               bool_or(l_quantity > 45.0) AS any_bulk,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    """
+
+    o["q10_group_collect"] = """
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """
+
+    plon, plat = _pts_sql("c_custkey")
+    rx0, ry0, rx1, ry1 = _rect_sql("s_suppkey")
+    o["q11_spatial_cell_join"] = f"""
+        SELECT c.c_custkey AS point_id, s.s_suppkey AS rect_id
+        FROM customer c, supplier s
+        WHERE {plon} >= {rx0} AND {plon} <= {rx1}
+          AND {plat} >= {ry0} AND {plat} <= {ry1}
+    """
+
+    olon, olat = _pts_sql("o_orderkey")
+    tsx, tsy = mercator.tile_sql(olon, olat, 12)
+    o["q12_tile_assign"] = f"""
+        SELECT o_orderkey AS id, {tsx} AS tile_x, {tsy} AS tile_y FROM orders
+    """
+
+    flon, flat = _pts_sql("(s_suppkey * 13)")
+    o["q13_knn_join"] = f"""
+        WITH pts AS (SELECT cast(c_custkey AS varchar) AS image_id, {plon} AS lon, {plat} AS lat FROM customer),
+             fts AS (SELECT s_suppkey AS feature_id, {flon} AS lon, {flat} AS lat FROM supplier),
+             d AS (SELECT p.image_id, f.feature_id,
+                          (f.lon - p.lon) * (f.lon - p.lon) + (f.lat - p.lat) * (f.lat - p.lat) AS dist_sq_deg
+                   FROM pts p CROSS JOIN fts f),
+             r AS (SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY dist_sq_deg, feature_id) AS rk FROM d)
+        SELECT image_id, feature_id, cast(rk AS int) AS knn_rank, dist_sq_deg FROM r WHERE rk <= 3
+    """
+
+    fp = text.fingerprint_sql("text")
+    o["q14_exact_dedup"] = f"""
+        SELECT {fp} AS fp, min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+    """
+
+    o["q15_text_quality"] = f"""
+        SELECT doc_id,
+               cast({text.token_count_sql('text')} AS bigint) AS n_tokens,
+               cast({text.punct_count_sql('text')} AS bigint) AS n_punct,
+               {text.quality_score_sql('text')} AS quality
+        FROM documents
+    """
+
+    o["q16_lang_id"] = f"SELECT doc_id, {text.lang_id_sql('text')} AS lang_guess FROM documents"
+
+    o["q17_fingerprint"] = f"SELECT doc_id, {fp} AS fp FROM documents"
+
+    o["q18_ann_cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+             d AS (SELECT q.query_id, e.vec_id,
+                          round(list_cosine_similarity(cast(e.embedding AS double[]), cast(q.qv AS double[])), 6) AS cos_sim
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.query_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM d)
+        SELECT query_id, vec_id, cos_sim, cast(rank AS int) AS rank FROM r WHERE rank <= 5
+    """
+
+    o["q21_hourly_rollup"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    # q19/q20/q22: LSH-family ops — not SQL-expressible; rows-only checks.
+    return o

@@ -62,6 +62,16 @@ def decode(data: bytes) -> np.ndarray:
     return arr
 
 
+def lossy_roundtrip(arr: np.ndarray) -> np.ndarray:
+    """decode(encode(arr, 'jpeg')) without the byte round trip — the stub
+    codec's lossy path is exactly quantize + mid-rise offset, so the
+    reconstruction is computable in one vectorized pass."""
+    q = (arr >> (8 - _LOSSY_BITS)) << (8 - _LOSSY_BITS)
+    return np.minimum(
+        q.astype(np.int16) + (1 << (8 - _LOSSY_BITS - 1)), 255
+    ).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

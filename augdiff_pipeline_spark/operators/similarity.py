@@ -1,0 +1,164 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute_force_topk: baseline exact cosine top-k.  Query vectors are
+  broadcast as one numpy matrix; a single mapInPandas pass computes the
+  batch×query cosine block with one BLAS matmul (no per-row Python), then
+  a window row_number takes top-k per query.  Cosines are rounded (6dp)
+  so engines agree; ties broken by vec_id — this makes the ranking
+  bit-deterministic and lets a plain-SQL oracle reproduce it.
+- lsh_topk: the scale path — random-hyperplane (SimHash-for-cosine)
+  signatures bucket candidates by band equi-join; exact cosine refine on
+  candidates only.  Recall<1 by construction: tests compare against
+  brute force with a recall floor, and the scale win is that the
+  candidate join shuffles signature rows, never the vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+
+def _collect_queries(embeddings: DataFrame, query_ids: list[int], id_col: str, vec_col: str):
+    rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qn
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) exact top-k (self excluded)."""
+    spark = embeddings.sparkSession
+    qids, qn = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((qids, qn))
+
+    def kernel(it):
+        qi, qv = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                    "vec_id": pd.Series([], dtype="int64"),
+                                    "cos_sim": pd.Series([], dtype="float64")})
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            block = mn @ qv.T  # (batch, nq)
+            nb, nq = block.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi[None, :], nb, axis=0).ravel(),
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), nq),
+                    "cos_sim": np.round(block.ravel(), ROUND_DP),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "query_id long, vec_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_bits: int = 64, bands: int = 8, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, key) random-hyperplane LSH bucket rows."""
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bc = spark.sparkContext.broadcast(planes)
+    bits_per_band = n_bits // bands
+
+    def kernel(it):
+        pl = bc.value
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "band": pd.Series([], dtype="int32"),
+                                    "key": pd.Series([], dtype="int64")})
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (m @ pl.T) > 0  # (batch, n_bits)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            frames = []
+            for b in range(bands):
+                chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                keys = (chunk.astype(np.int64) * weights[None, :]).sum(axis=1)
+                frames.append(pd.DataFrame({"vec_id": ids, "band": np.int32(b), "key": keys}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id long, band int, key long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates via band equi-join, exact refine."""
+    sigs = hyperplane_signatures(embeddings, n_bits, bands, id_col=id_col, vec_col=vec_col)
+    qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band", "key"
+    )
+    cand = (
+        sigs.join(F.broadcast(qs), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    paired = cand.join(vecs, "vec_id").join(F.broadcast(qvecs), "query_id")
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                    "vec_id": pd.Series([], dtype="int64"),
+                                    "cos_sim": pd.Series([], dtype="float64")})
+                continue
+            a = np.array(list(pdf["v"]), dtype=np.float64)
+            b = np.array(list(pdf["qv"]), dtype=np.float64)
+            an = np.linalg.norm(a, axis=1)
+            bn = np.linalg.norm(b, axis=1)
+            an[an == 0] = 1.0
+            bn[bn == 0] = 1.0
+            cos = np.einsum("ij,ij->i", a, b) / (an * bn)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"],
+                 "cos_sim": np.round(cos, ROUND_DP)}
+            )
+
+    scored = paired.mapInPandas(refine, "query_id long, vec_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

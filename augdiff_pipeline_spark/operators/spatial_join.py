@@ -1,0 +1,218 @@
+"""Spatial joins over the image fact table.
+
+Two physical strategies, chosen by polygon-layer size:
+
+1. ``pip_join_broadcast`` (the north-rule path): the polygon layer's
+   cover intervals + geometries are collected ONCE, packed into numpy
+   arrays (sorted-interval index, operators/interval_index.py) and a
+   feature-id→geometry dict, broadcast to every executor, and consulted
+   inside a single mapInPandas pass over the images: Morton encode
+   (numpy) → interval searchsorted → exact even-odd refine, vectorized
+   per feature over all its candidate points in the batch.  ZERO
+   shuffles on the 10^12-row side; cost is one scan.
+
+2. ``cell_equi_join`` (layer too big to broadcast): explode cover
+   intervals into fixed-resolution grid cells, equi-join images'
+   grid cell (native Column expr, codegen'd) against the cover-cell
+   table, then refine candidates in an Arrow kernel.  The image side
+   shuffles on the cell key — salted by AQE's skew-join splitting for
+   hot cells.
+
+Both produce identical (image_id, feature_id) rows; the tests assert
+strategy-equivalence, and the equi-join path is what the DuckDB oracle
+can check end-to-end (bbox variant) in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells
+from ..geometry import core, wkb
+from .interval_index import IntervalIndex
+
+
+def collect_layer(layer: DataFrame):
+    """Collect the polygon layer into broadcastable numpy structures."""
+    rows = layer.select("feature_id", "geom_wkb", "cell_lo", "cell_hi").collect()
+    fid = np.array([r["feature_id"] for r in rows], dtype=np.int64)
+    lo = np.array([r["cell_lo"] for r in rows], dtype=np.int64)
+    hi = np.array([r["cell_hi"] for r in rows], dtype=np.int64)
+    geoms: dict[int, bytes] = {}
+    for r in rows:
+        geoms.setdefault(int(r["feature_id"]), bytes(r["geom_wkb"]))
+    idx = IntervalIndex.build(fid, lo, hi)
+    return idx, geoms
+
+
+def _refine(pidx: np.ndarray, fids: np.ndarray, lon: np.ndarray, lat: np.ndarray, geoms: dict[int, bytes]):
+    """Exact PIP refine, vectorized per candidate feature."""
+    keep_p: list[np.ndarray] = []
+    keep_f: list[int] = []
+    out_p, out_f = [], []
+    for f in np.unique(fids):
+        sel = fids == f
+        pts = pidx[sel]
+        geom = wkb.loads(geoms[int(f)])
+        if isinstance(geom, core.Polygon):
+            inside = core.points_in_polygon(lon[pts], lat[pts], geom)
+        else:
+            inside = core.points_in_multipolygon(lon[pts], lat[pts], geom)
+        hit = pts[inside]
+        out_p.append(hit)
+        out_f.append(np.full(len(hit), f, dtype=np.int64))
+    if not out_p:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_p), np.concatenate(out_f)
+
+
+def pip_join_broadcast(
+    images: DataFrame,
+    layer: DataFrame,
+    id_col: str = "image_id",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """(image_id, feature_id, *passthrough) via broadcast sorted-interval
+    index.  ``passthrough`` columns ride along on hit rows so downstream
+    stages (tile rollups etc.) never need to join back onto the
+    10^12-row fact table — the whole join is one scan, zero shuffles."""
+    spark = images.sparkSession
+    idx, geoms = collect_layer(layer)
+    bc = spark.sparkContext.broadcast((idx, geoms))
+    passthrough = passthrough or []
+    # id dtype follows the input (string ids per input_hint; numeric
+    # surrogates cut Arrow/pandas object churn ~4x on the hot path)
+    id_type = images.schema[id_col].dataType.simpleString()
+    pt_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in images.select(*passthrough).schema.fields
+    )
+
+    def kernel(it):
+        # mapInArrow: RecordBatch in/out, numpy views zero-copy where the
+        # type allows — no pandas materialization on the 10^12-row path
+        import pyarrow as pa
+
+        index, gd = bc.value
+        for rb in it:
+            lon = rb.column(rb.schema.get_field_index("lon")).to_numpy(zero_copy_only=False)
+            lat = rb.column(rb.schema.get_field_index("lat")).to_numpy(zero_copy_only=False)
+            m = cells.morton(lon, lat)
+            pidx, fids = index.query(m)
+            if len(pidx) == 0:
+                hit_p = np.empty(0, dtype=np.int64)
+                hit_f = np.empty(0, dtype=np.int64)
+            else:
+                hit_p, hit_f = _refine(pidx, fids, lon, lat, gd)
+            arrays = [
+                rb.column(rb.schema.get_field_index(id_col)).take(pa.array(hit_p)),
+                pa.array(hit_f, type=pa.int64()),
+            ]
+            names = ["image_id", "feature_id"]
+            for c in passthrough:
+                arrays.append(rb.column(rb.schema.get_field_index(c)).take(pa.array(hit_p)))
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    cols = [F.col(id_col), "lon", "lat"] + [F.col(c) for c in passthrough if c not in ("lon", "lat")]
+    return images.select(*cols).mapInArrow(
+        kernel, f"image_id {id_type}, feature_id long{pt_schema}"
+    )
+
+
+def cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
+    """Explode cover intervals into fixed-res cells: one row per
+    (cell@res, feature_id, full) — the equi-join build side.  ``full``
+    marks cells entirely inside the feature (no refine needed); a cell
+    both full and boundary for the same feature keeps full=false."""
+
+    def kernel(it):
+        shift = 2 * (cells.MAX_RES - res)
+        for pdf in it:
+            out_c, out_f, out_fl = [], [], []
+            for fid, lo, hi, fl in zip(
+                pdf["feature_id"], pdf["cell_lo"], pdf["cell_hi"], pdf["cell_full"]
+            ):
+                c0 = int(lo) >> shift
+                c1 = int(hi) >> shift
+                for c in range(c0, c1 + 1):
+                    out_c.append(c)
+                    out_f.append(fid)
+                    out_fl.append(bool(fl))
+            yield pd.DataFrame(
+                {
+                    "cell": pd.Series(out_c, dtype="int64"),
+                    "feature_id": pd.Series(out_f, dtype="int64"),
+                    "full": pd.Series(out_fl, dtype="bool"),
+                }
+            )
+
+    raw = layer.mapInPandas(kernel, "cell long, feature_id long, full boolean")
+    # a boundary interval coarser than `res` can emit the same (cell,
+    # feature) as a full interval; bool_and keeps the conservative flag
+    return raw.groupBy("cell", "feature_id").agg(F.bool_and("full").alias("full"))
+
+
+def cell_equi_join(
+    images: DataFrame,
+    layer: DataFrame,
+    res: int = 12,
+    id_col: str = "image_id",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """(image_id, feature_id, *passthrough) via hybrid cell equi-join.
+
+    The image-side cell is a native Column expression and the cover join
+    is a broadcast hash join — both stay inside whole-stage codegen.
+    Candidates in FULL cover cells are exact hits and never leave the
+    JVM; only the thin boundary band (cells the polygon edge crosses)
+    flows through the Arrow refine kernel.  At 10^12 rows this keeps the
+    Python path proportional to (perimeter x cell size), not to the
+    polygon areas.
+    """
+    spark = images.sparkSession
+    passthrough = passthrough or []
+    covers = cover_cells_df(layer, res)
+    geoms = {
+        int(r["feature_id"]): bytes(r["geom_wkb"])
+        for r in layer.select("feature_id", "geom_wkb").distinct().collect()
+    }
+    bc = spark.sparkContext.broadcast(geoms)
+    id_type = images.schema[id_col].dataType.simpleString()
+    pt_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in images.select(*passthrough).schema.fields
+    )
+    out_cols = [F.col(id_col).alias("image_id"), F.col("feature_id")] + [
+        F.col(c) for c in passthrough
+    ]
+
+    img = images.select(F.col(id_col), "lon", "lat", *[c for c in passthrough if c not in ("lon", "lat")]).withColumn(
+        "cell", cells.morton_col(F.col("lon"), F.col("lat"), res)
+    )
+    cand = img.join(F.broadcast(covers), "cell")
+    full_hits = cand.filter(F.col("full")).select(*out_cols)
+    boundary = cand.filter(~F.col("full")).select(
+        F.col(id_col), "lon", "lat", "feature_id", *[c for c in passthrough if c not in ("lon", "lat")]
+    )
+
+    def refine(it):
+        gd = bc.value
+        for pdf in it:
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            fids = pdf["feature_id"].to_numpy(dtype=np.int64)
+            pidx = np.arange(len(pdf))
+            hit_p, hit_f = _refine(pidx, fids, lon, lat, gd)
+            out = {"image_id": pdf[id_col].to_numpy()[hit_p], "feature_id": hit_f}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()[hit_p]
+            yield pd.DataFrame(out)
+
+    refined = boundary.mapInPandas(
+        refine, f"image_id {id_type}, feature_id long{pt_schema}"
+    )
+    return full_hits.unionByName(refined)

@@ -1,0 +1,122 @@
+"""Deterministic ZXY tile assignment + salted raster tile cut.
+
+- Tile assignment is the pure Column expression from functions/mercator
+  (no UDF): every image gets (z, x, y) + a single packed tile_key.
+- Skew handling is EXPLICIT (north rule): hot tiles (Zipf-clustered
+  geotags) are split by a salt column — pmod(xxhash64(image_id), salt_n)
+  — so ``repartition(tile_key, salt)`` spreads one hot tile across
+  salt_n tasks; AQE's skew-join splitting backs this up when the layer
+  side joins in.
+- The raster cut decodes each image (codec stub, operators/images.py),
+  crops fixed-size pixel tiles, re-encodes, and records PSNR vs the
+  source for lossy formats — all inside one mapInPandas pass after the
+  salted repartition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import mercator
+from . import images as imgcodec
+
+
+def assign_tiles(images: DataFrame, z: int, salt_n: int = 8) -> DataFrame:
+    xt, yt = mercator.tile_cols(F.col("lon"), F.col("lat"), z)
+    return (
+        images.withColumn("z", F.lit(z).cast("int"))
+        .withColumn("x", xt.cast("long"))
+        .withColumn("y", yt.cast("long"))
+        .withColumn("tile_key", mercator.tile_key_col(F.col("lon"), F.col("lat"), z))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(salt_n)).cast("int"))
+    )
+
+
+def cut_tiles(
+    assigned: DataFrame, tile_px: int = 16, salt_n: int = 8, shuffle_partitions: int | None = None
+) -> DataFrame:
+    """(image_id, z, x, y, tix, tiy, tile_bytes, psnr_db) — one row per
+    pixel tile per image, produced after the salted repartition."""
+    parts = [F.col("tile_key"), F.col("salt")]
+    df = assigned.repartition(*parts) if shuffle_partitions is None else assigned.repartition(
+        shuffle_partitions, *parts
+    )
+
+    def kernel(it):
+        for pdf in it:
+            out = {
+                "image_id": [], "z": [], "x": [], "y": [],
+                "tix": [], "tiy": [], "tile_bytes": [], "psnr_db": [],
+            }
+            for iid, z, x, y, blob, fmt in zip(
+                pdf["image_id"], pdf["z"], pdf["x"], pdf["y"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = imgcodec.decode(bytes(blob))
+                h, w, _ = arr.shape
+                ntx = (w + tile_px - 1) // tile_px
+                nty = (h + tile_px - 1) // tile_px
+                # one vectorized pass: zero-pad, view as (nty, ntx) tile
+                # grid, PSNR computed analytically from the quantization
+                # error (re-decode of our codec is exactly quantize+offset,
+                # so no per-tile decode round trip is needed)
+                padded = np.zeros((nty * tile_px, ntx * tile_px, 3), dtype=np.uint8)
+                padded[:h, :w] = arr
+                grid = (
+                    padded.reshape(nty, tile_px, ntx, tile_px, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                )  # (nty, ntx, tp, tp, 3)
+                if fmt == "png":
+                    psnrs = np.full((nty, ntx), 99.0)
+                else:
+                    dec = imgcodec.lossy_roundtrip(padded)
+                    err = dec.astype(np.float64) - padded.astype(np.float64)
+                    mse = (
+                        (err * err)
+                        .reshape(nty, tile_px, ntx, tile_px, 3)
+                        .transpose(0, 2, 1, 3, 4)
+                        .reshape(nty, ntx, -1)
+                        .mean(axis=2)
+                    )
+                    with np.errstate(divide="ignore"):
+                        psnrs = np.minimum(10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-12)), 99.0)
+                nt = nty * ntx
+                out["image_id"].append(np.repeat(iid, nt))
+                out["z"].append(np.repeat(np.int32(z), nt))
+                out["x"].append(np.repeat(np.int64(x), nt))
+                out["y"].append(np.repeat(np.int64(y), nt))
+                tys, txs = np.divmod(np.arange(nt), ntx)
+                out["tiy"].append(tys.astype(np.int32))
+                out["tix"].append(txs.astype(np.int32))
+                flat = grid.reshape(nt, tile_px, tile_px, 3)
+                out["tile_bytes"].extend(
+                    imgcodec.encode(np.ascontiguousarray(flat[t]), fmt) for t in range(nt)
+                )
+                out["psnr_db"].append(psnrs.ravel())
+            if not out["image_id"]:
+                yield pd.DataFrame(
+                    {k: pd.Series([], dtype=("object" if k in ("image_id", "tile_bytes") else
+                                              "int64" if k in ("x", "y") else
+                                              "float64" if k == "psnr_db" else "int32"))
+                     for k in out}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "image_id": np.concatenate(out["image_id"]),
+                    "z": np.concatenate(out["z"]),
+                    "x": np.concatenate(out["x"]),
+                    "y": np.concatenate(out["y"]),
+                    "tix": np.concatenate(out["tix"]),
+                    "tiy": np.concatenate(out["tiy"]),
+                    "tile_bytes": pd.Series(out["tile_bytes"], dtype="object"),
+                    "psnr_db": np.concatenate(out["psnr_db"]),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "image_id string, z int, x long, y long, tix int, tiy int, tile_bytes binary, psnr_db double",
+    )

@@ -88,6 +88,7 @@ POLYGON_LAYER_SCHEMA = T.StructType(
         T.StructField("geom_wkb", T.BinaryType(), False),
         T.StructField("cell_lo", T.LongType(), False),  # cover interval, max-res morton
         T.StructField("cell_hi", T.LongType(), False),
+        T.StructField("cell_full", T.BooleanType(), False),  # True = interior (no refine)
     ]
 )
 

@@ -1,0 +1,102 @@
+"""Structured Streaming drive of the augmented-diff pipeline.
+
+The reference consumes the minutely OSC replication sequence with a
+driver loop + exponential-backoff polling (AugmentedDiff.scala:103-158,
+206-222 — T1/T2).  Here the same feed is a Structured Streaming file
+source: minutely batch files land in a directory (one parquet per seq,
+carrying a ``seq`` column), ``readStream`` picks them up, and
+``foreachBatch`` routes each seq through plans/augdiff.run_batch — so
+checkpointing is two-level: Spark's streaming checkpoint tracks WHICH
+files were consumed, and the engine's snapshot/lineage commit protocol
+makes each seq's effects atomic and replayable (T3/T4).  Late or
+re-delivered files are idempotent: committed seqs are skipped.
+
+A watermarked event-window aggregate (``windowed_event_counts``) covers
+the streaming-aggregation surface (late rows beyond the watermark drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.augdiff import run_batch
+from ..plans.lineage import LineageLog
+from ..schemas import OSM_SCHEMA
+from ..sources.catalog import SnapshotTable
+from ..sources.state import StateTable
+
+CHANGE_STREAM_SCHEMA = T.StructType(
+    OSM_SCHEMA.fields + [T.StructField("seq", T.LongType(), False)]
+)
+
+
+def write_change_file(spark: SparkSession, batch_df: DataFrame, seq: int, changes_dir: str) -> None:
+    """Producer side: land one minutely batch file (fixture/test helper)."""
+    batch_df.withColumn("seq", F.lit(seq).cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(changes_dir)
+
+
+def stream_augdiff(
+    spark: SparkSession,
+    changes_dir: str,
+    checkpoint_dir: str,
+    state: StateTable,
+    index: SnapshotTable,
+    log: LineageLog,
+    out_dir: str,
+):
+    """Start the streaming query; returns the StreamingQuery handle."""
+    src = (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(changes_dir)
+    )
+
+    def process(micro_df: DataFrame, epoch_id: int) -> None:
+        seqs = [r["seq"] for r in micro_df.select("seq").distinct().collect()]
+        committed = set(log.committed_seqs(spark))
+        for seq in sorted(seqs):
+            if seq in committed:
+                continue  # idempotent on re-delivery / restart replay
+            batch = micro_df.filter(F.col("seq") == seq).drop("seq")
+            run_batch(spark, state, index, log, batch, int(seq), out_dir)
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregate (late rows past
+    the watermark are dropped — the T2 late-data policy, Spark-native)."""
+    win = (
+        F.window(F.col("ts"), window)
+        if slide is None
+        else F.window(F.col("ts"), window, slide)
+    )
+    # watermarks require TIMESTAMP (tz-adjusted); parquet sources often
+    # infer TIMESTAMP_NTZ — session tz is pinned UTC, so the cast is exact
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

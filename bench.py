@@ -1,0 +1,287 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set mirrors the north-star metric (images+geometries
+joined+tiled per second) plus the relational/window/dedup spine:
+
+  pip_tile   — image fact table → broadcast sorted-interval PIP join
+               against the OSM polygon layer → ZXY tile assignment →
+               per-feature rollup (count action)
+  knn        — ring-expansion kNN of every image to fixture nodes
+  tile_cut   — salted repartition + decode/crop/re-encode raster tiles
+               (10k-image slice; per-image work dominates)
+  group_agg  — TPC-H-Q1-shaped aggregate on lineitem
+  top1_window— latest-event-per-user window on events
+  minhash    — MinHash-LSH near-dup pairs on documents
+
+The synthetic image table is generated once per sf (in parallel via
+mapInPandas) and cached under /tmp so generation never pollutes timings.
+Scaling-efficiency evidence (same job at two parallelism levels) is
+produced by bench_scaling.py, which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_IMAGES_PER_SF = 5_000_000  # sf0.1 -> 500k images (FIXTURES.md §4)
+
+
+def build_image_table(spark, sf: float, cache_dir: str = "/tmp/spark_graft_bench_cache", n: int | None = None):
+    """Generate (or load) the deterministic image fact table, in parallel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = n or max(int(N_IMAGES_PER_SF * sf), 10_000)
+    path = os.path.join(cache_dir, f"images_n{n}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path), n
+
+    from augdiff_pipeline_spark import fixtures
+
+    # parallel synthesis: each partition generates its slice with the same
+    # deterministic per-index RNG the fixtures module uses; 64 output
+    # partitions divide evenly into both scaling core counts (8 and 32)
+    chunk = max(2_000, n // 64)
+    starts = list(range(0, n, chunk))
+    sdf = spark.createDataFrame(
+        [(s, min(chunk, n - s)) for s in starts], "start long, cnt long"
+    ).repartition(min(len(starts), 256))
+
+    def gen(it):
+        for pdf in it:
+            for s, c in zip(pdf["start"], pdf["cnt"]):
+                rows = fixtures.image_rows(int(c), seed=fixtures.SEED + int(s))
+                rows["image_id"] = [f"img_{int(s)+i:09d}" for i in range(int(c))]
+                yield rows
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, lat double, lon double"
+    )
+    sdf.mapInPandas(gen, schema).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), n
+
+
+def build_meta_table(spark, n: int, cache_dir: str = "/tmp/spark_graft_bench_cache"):
+    """Geotag-only fact table (image_id, lon, lat) — what column pruning
+    leaves of the image table for the pip/knn paths.  Cheap to generate
+    at tens of millions of rows, so scaling runs get enough per-core
+    compute to dominate fixed job overhead without tens of GB of blobs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    path = os.path.join(cache_dir, f"meta2_n{n}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+
+    chunk = max(50_000, n // 128)
+    sdf = spark.createDataFrame(
+        [(s, min(chunk, n - s)) for s in range(0, n, chunk)], "start long, cnt long"
+    ).repartition(128)
+
+    def gen(it):
+        from augdiff_pipeline_spark import fixtures
+
+        for pdf in it:
+            for s, c in zip(pdf["start"], pdf["cnt"]):
+                s, c = int(s), int(c)
+                rng = np.random.default_rng(fixtures.SEED + s)
+                centers_lon = rng.uniform(10.0, 10.1, 20)
+                centers_lat = rng.uniform(50.0, 50.1, 20)
+                zipf = 1.0 / np.arange(1, 21) ** 1.5
+                zipf /= zipf.sum()
+                which = rng.random(c)
+                ci = rng.choice(20, size=c, p=zipf)
+                lon = np.where(which < 0.85, centers_lon[ci] + rng.normal(0, 0.002, c),
+                               rng.uniform(9.95, 10.15, c))
+                lat = np.where(which < 0.85, centers_lat[ci] + rng.normal(0, 0.002, c),
+                               rng.uniform(49.95, 50.15, c))
+                yield pd.DataFrame(
+                    {"image_id": [f"img_{s+i:010d}" for i in range(c)],
+                     "lon": lon, "lat": lat}
+                )
+
+    sdf.mapInPandas(gen, "image_id string, lon double, lat double").withColumn(
+        "img_no", F.xxhash64(F.col("image_id"))
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    scaling_mode = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "scaling"
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from augdiff_pipeline_spark import fixtures
+    from augdiff_pipeline_spark.functions import mercator
+    from augdiff_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from augdiff_pipeline_spark.operators.knn import knn_join
+    from augdiff_pipeline_spark.operators.spatial_join import pip_join_broadcast
+    from augdiff_pipeline_spark.operators.tiling import assign_tiles, cut_tiles
+    from augdiff_pipeline_spark.plans.polygon_layer import build_polygon_layer
+    from augdiff_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(2 * cpus, 16),
+        # sizes tuned to bench data volume: AQE advisory so post-shuffle
+        # parallelism survives, and input-split size so the scan yields
+        # >= cores tasks (500MB of input under the 128MB default packs
+        # into ~9 splits and caps every downstream stage at 9 tasks; at
+        # production volumes the defaults are right)
+        extra_conf={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
+
+    from augdiff_pipeline_spark.operators.spatial_join import cell_equi_join
+
+    images, n_images = build_image_table(spark, sf)
+    if scaling_mode:
+        # meta-only fact table for pip/knn (column pruning leaves exactly
+        # this at production scale); blobs only feed the tile_cut sample.
+        # Numeric surrogate ids: string ids make the Arrow path memory-
+        # bandwidth-bound, which on ONE box stops scaling past ~8 cores —
+        # a box limit, not a plan property (4N executors = 4x bandwidth).
+        n_meta = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000000"))
+        meta = build_meta_table(spark, n_meta).select(
+            F.col("img_no").alias("image_id"), "lon", "lat"
+        )
+    else:
+        n_meta = n_images
+        meta = images.select("image_id", "lon", "lat").localCheckpoint(eager=True)
+    # finer cover -> most interior hits resolve JVM-side in the hybrid
+    # cell join (only the boundary band crosses into Arrow)
+    layer = build_polygon_layer(
+        spark, fixtures.base_state_df(spark), max_res=17
+    ).localCheckpoint(eager=True)
+
+    import pandas as pd
+
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": list(fixtures.NODE_COORDS.keys()),
+                "lon": [c[0] for c in fixtures.NODE_COORDS.values()],
+                "lat": [c[1] for c in fixtures.NODE_COORDS.values()],
+            }
+        )
+    )
+
+    # warm the Python workers (spawn + numpy/pandas import) so timings
+    # measure steady-state throughput, not one-time worker startup —
+    # on a long-lived cluster workers stay warm across batches anyway
+    def _noop(it):
+        for pdf in it:
+            yield pdf.iloc[:0]
+
+    meta.mapInPandas(_noop, meta.schema).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        return out
+
+    # 1. PIP join + tile assignment (the headline metric) — tiles are
+    # native Column exprs computed in the SAME scan and carried through
+    # the join, so the whole pipeline is one pass + one tiny aggregate
+    # shuffle (never a self-join back onto the fact table).  The hybrid
+    # cell join keeps interior hits fully JVM-side.
+    def pip_tile():
+        assigned = assign_tiles(meta, z=14)
+        joined = cell_equi_join(assigned, layer, res=16, passthrough=["x", "y"])
+        out = joined.groupBy("feature_id").agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("x", "y").alias("tiles")
+        )
+        return out.count()
+
+    timed("pip_tile", pip_tile)
+    extras["pip_tile_images_per_sec"] = round(n_meta / timings["pip_tile"], 1)
+
+    # 1b. same join through the broadcast sorted-interval kernel (the
+    # strategy for layers too big to explode into cover cells)
+    def pip_scan():
+        return pip_join_broadcast(meta, layer).count()
+
+    timed("pip_scan", pip_scan)
+    extras["pip_scan_images_per_sec"] = round(n_meta / timings["pip_scan"], 1)
+
+    # 2. kNN
+    timed("knn", lambda: knn_join(meta, feats, k=3, res=10).count())
+    extras["knn_images_per_sec"] = round(n_meta / timings["knn"], 1)
+
+    # 3. tile cut on a ~10k-image hash sample (decode/crop/encode
+    # dominated; a hash filter keeps the sample spread across ALL input
+    # partitions — limit() would collapse to one task and serialize)
+    tile_sample = int(os.environ.get("SPARK_GRAFT_TILE_SAMPLE", "10000"))
+    frac = max(1, n_images // tile_sample)
+    img_slice = images.filter(
+        F.pmod(F.xxhash64(F.col("image_id")), F.lit(frac)) == 0
+    ).localCheckpoint(eager=True)
+    slice_n = img_slice.count()
+    timed("tile_cut", lambda: cut_tiles(assign_tiles(img_slice, z=14), tile_px=16).count())
+    extras["tile_cut_images_per_sec"] = round(slice_n / timings["tile_cut"], 1)
+
+    # 4-6. relational spine on the driver tables
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def group_agg():
+        rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(24,6)")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("rev"))
+            .count()
+        )
+
+    timed("group_agg", group_agg)
+
+    def top1():
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).count()
+
+    timed("top1_window", top1)
+    timed("minhash", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_images": n_meta,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

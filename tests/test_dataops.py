@@ -1,0 +1,109 @@
+"""Dedup / similarity / text operators on synthetic docs with known
+duplicate structure."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from augdiff_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_pairs,
+    _shingle_hashes,
+)
+from augdiff_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        words = BASE.split()
+        rng.shuffle(words)
+        rows.append((100 + i, " ".join(words[:20]) + f" unique{i}"))
+    # exact duplicates: 200/201 identical, 202 differs by whitespace only
+    rows += [(200, BASE), (201, BASE), (202, "  " + BASE.replace("  ", " ") + " ")]
+    # near duplicates: one word changed (distinct prefix keeps them out of
+    # the exact-dup group)
+    rows += [(300, "prefix " + BASE), (301, "prefix " + BASE.replace("fudge", "cake"))]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["canonical_id"]: r["dup_count"] for r in exact_dedup_groups(docs).collect()}
+    # whitespace-normalized fingerprint folds 202 into {200, 201}
+    assert groups == {200: 3}
+
+
+def test_minhash_similarity_behavior():
+    s1 = minhash_signature(BASE, 64)
+    s2 = minhash_signature(BASE.replace("fudge", "cake"), 64)
+    s3 = minhash_signature("completely different text about spark engines", 64)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.6 > sim13
+    # signature is deterministic
+    assert (minhash_signature(BASE, 64) == s1).all()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (200, 201) in pairs and pairs[(200, 201)] == 1.0
+    assert (300, 301) in pairs and pairs[(300, 301)] > 0.7
+    # true jaccard of verified pairs is exact (shingle-set based)
+    a = _shingle_hashes("prefix " + BASE)
+    b = _shingle_hashes("prefix " + BASE.replace("fudge", "cake"))
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    want = round(inter / (len(a) + len(b) - inter), 6)
+    assert pairs[(300, 301)] == want
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (200, 201) in pairs
+    assert (300, 301) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((10, 32))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(10):
+            rows.append((vid, (b + rng.standard_normal(32) * 0.1).astype("float32").tolist()))
+            vid += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    got = brute_force_topk(vectors, [0, 10, 20], k=5).toPandas()
+    pdf = vectors.toPandas()
+    m = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 10, 20):
+        cos = np.round(mn @ mn[q], 6)
+        cos[q] = -np.inf
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))[:5]
+        mine = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert mine == pdf["vec_id"].to_numpy()[order].tolist()
+        # cluster mates dominate top-k
+        assert sum(1 for v in mine if v // 10 == q // 10) >= 4
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = brute_force_topk(vectors, [0, 10, 20], k=5).toPandas()
+    approx = lsh_topk(vectors, [0, 10, 20], k=5, n_bits=128, bands=32).toPandas()
+    got = set(zip(approx["query_id"], approx["vec_id"]))
+    want = set(zip(exact["query_id"], exact["vec_id"]))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall

@@ -1,0 +1,73 @@
+"""Self-check of the driver contract: every oracle-backed query in
+__spark_entry__ must match DuckDB exactly (row count + order-insensitive
+values) at sf0.01, and rows-only queries must at least run."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def canonize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    a, b = canonize(a), canonize(b)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            assert ok.all(), f"{name}.{c}: {np.argmin(ok)}: {av[np.argmin(ok)]} vs {bv[np.argmin(ok)]}"
+        else:
+            ok = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            assert ok.all(), f"{name}.{c}: first diff at {np.argmin(ok)}: {av[np.argmin(ok)]!r} vs {bv[np.argmin(ok)]!r}"
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_query(spark, con, name):
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    want = con.sql(ORACLES[name]).df()
+    assert_frames_equal(got, want, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {f.name for f in df.schema.fields} >= {"feature_id", "n_images"}

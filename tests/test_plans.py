@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale properties the engine relies on
+must be visible in `explain` output — filters pushed to the parquet
+scan, broadcast joins where intended, and no shuffle on the fact-table
+side of the broadcast PIP join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from augdiff_pipeline_spark import fixtures
+from augdiff_pipeline_spark.operators.spatial_join import cell_equi_join, pip_join_broadcast
+from augdiff_pipeline_spark.plans.polygon_layer import build_polygon_layer
+from augdiff_pipeline_spark.sources.state import StateTable
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the projected columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_state_point_lookup_pushes_in_list(spark, tmp_path):
+    state = StateTable(str(tmp_path / "state"))
+    state.init(fixtures.base_state_df(spark))
+    keys = spark.createDataFrame([(4005,), (8003,)], "k long")  # packed ids
+    fetched = state.fetch_pairs(spark, keys)
+    plan = fetched._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(id" in plan.replace(" ", "").replace("[", "(")
+    rows = fetched.collect()
+    assert {r["id"] for r in rows} <= {4005 >> 2, 8003 >> 2}
+
+
+def test_cell_equi_join_broadcasts_covers(spark):
+    layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
+    images = fixtures.image_df(spark, 500).select("image_id", "lon", "lat")
+    joined = cell_equi_join(images, layer, res=12)
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pip_broadcast_path_has_no_shuffle(spark):
+    layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
+    images = fixtures.image_df(spark, 500).select("image_id", "lon", "lat")
+    joined = pip_join_broadcast(images, layer)
+    plan = plan_of(joined)
+    # fact side: scan → (project) → mapInArrow; zero exchanges
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
+
+
+def test_tile_exprs_are_codegen(spark, tmp_path):
+    from augdiff_pipeline_spark.operators.tiling import assign_tiles
+
+    # materialize through parquet so Catalyst can't constant-fold the
+    # whole plan into a LocalTableScan
+    p = str(tmp_path / "img")
+    fixtures.image_df(spark, 100).select("image_id", "lon", "lat").write.parquet(p)
+    images = spark.read.parquet(p)
+    assigned = assign_tiles(images, z=14)
+    plan = plan_of(assigned.select("x", "y", "tile_key", "salt"))
+    # no python evals anywhere: tiles/salts are pure Column expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the short plan form
+    assert "*(" in plan

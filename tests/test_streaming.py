@@ -1,0 +1,94 @@
+"""Structured Streaming: file-source augdiff drive (idempotent restart)
+and watermarked windowed aggregation."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from augdiff_pipeline_spark import fixtures
+from augdiff_pipeline_spark.operators.closure import edges_from_rows, transitive_closure
+from augdiff_pipeline_spark.plans.lineage import LineageLog
+from augdiff_pipeline_spark.sources.catalog import SnapshotTable
+from augdiff_pipeline_spark.sources.state import StateTable
+from augdiff_pipeline_spark.streaming.stream import (
+    stream_augdiff,
+    windowed_event_counts,
+    write_change_file,
+)
+
+import oracle_augdiff as oracle
+
+
+def read_features(out_dir, seq):
+    lines = []
+    for f in glob.glob(os.path.join(out_dir, f"seq={seq:09d}", "part-*")):
+        with open(f) as fh:
+            lines.extend(l for l in fh.read().splitlines() if l)
+    return sorted(
+        json.dumps(json.loads(l), sort_keys=True) for l in lines
+    )
+
+
+def test_streaming_augdiff_first_batches(spark, tmp_path):
+    root = str(tmp_path)
+    changes_dir, ckpt = root + "/changes", root + "/ckpt"
+    state = StateTable(root + "/state")
+    index = SnapshotTable(root + "/index")
+    log = LineageLog(root + "/log")
+    out_dir = root + "/out"
+
+    base_df = fixtures.base_state_df(spark)
+    state.init(base_df)
+    index.overwrite(transitive_closure(edges_from_rows(base_df)))
+
+    batches = fixtures.change_batch_rows()
+    for seq in (0, 1, 2):
+        write_change_file(spark, fixtures.change_batch_df(spark, seq), seq, changes_dir)
+
+    q = stream_augdiff(spark, changes_dir, ckpt, state, index, log, out_dir)
+    q.awaitTermination(300)
+    assert log.committed_seqs(spark) == [0, 1, 2]
+
+    # more files land; restart of the stream picks up only the new ones
+    for seq in (3, 4):
+        write_change_file(spark, fixtures.change_batch_df(spark, seq), seq, changes_dir)
+    q2 = stream_augdiff(spark, changes_dir, ckpt, state, index, log, out_dir)
+    q2.awaitTermination(300)
+    assert log.committed_seqs(spark) == [0, 1, 2, 3, 4]
+
+    expected, _ = oracle.run_sequence(fixtures.base_state_rows(), {s: batches[s] for s in range(5)})
+    for seq in range(5):
+        got = read_features(out_dir, seq)
+        want = sorted(json.dumps(f, sort_keys=True) for f in expected[seq])
+        assert got == want, f"seq {seq}"
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src_dir = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wincounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wincounts").toPandas()
+    # cross-check against the batch equivalent
+    want = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    g = got.groupby(["window_start", "event_type"])["n"].sum().to_dict()
+    w = want.set_index(["window_start", "event_type"])["n"].to_dict()
+    gk = {(k[0].tz_localize(None) if hasattr(k[0], "tz_localize") and k[0].tzinfo else k[0], k[1]): v for k, v in g.items()}
+    wk = {(k[0].tz_localize(None) if hasattr(k[0], "tz_localize") and k[0].tzinfo else k[0], k[1]): v for k, v in w.items()}
+    assert gk == wk
