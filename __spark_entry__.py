@@ -96,8 +96,8 @@ def entry(spark: SparkSession) -> DataFrame:
     key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
     pts = li.select(
         F.concat(F.lit("li_"), key.cast("string")).alias("image_id"),
-        ((F.pmod(key * 7919, F.lit(2000)).cast("double") / 10000.0) + 10.0).alias("lon"),
-        ((F.pmod(key * 104729, F.lit(2000)).cast("double") / 10000.0) + 50.0).alias("lat"),
+        ((F.pmod(key * 7919, F.lit(20000)).cast("double") / 100000.0) + 10.0).alias("lon"),
+        ((F.pmod(key * 104729, F.lit(20000)).cast("double") / 100000.0) + 50.0).alias("lat"),
     )
     layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
     joined = pip_join_broadcast(pts, layer)
@@ -394,6 +394,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q22_lsh_ann"] = q22
+
+    def q23(spark, sf):  # multimodal plumbing: decode → features (rows-only)
+        import numpy as np
+        import pandas as pd
+
+        from augdiff_pipeline_spark.operators import images as imgcodec
+        from augdiff_pipeline_spark.operators.multimodal import image_features
+
+        ids = _t(spark, sf, "embeddings").select("vec_id").limit(200)
+
+        def synth(it):
+            for pdf in it:
+                out_id, out_b = [], []
+                for vid in pdf["vec_id"]:
+                    rng = np.random.default_rng(int(vid) + 99)
+                    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                    out_id.append(f"img_{int(vid)}")
+                    out_b.append(imgcodec.encode(arr, "png"))
+                yield pd.DataFrame({"image_id": out_id, "bytes": out_b})
+
+        imgs = ids.mapInPandas(synth, "image_id string, bytes binary")
+        return image_features(imgs).select("image_id", "phash", "luma_std")
+
+    q["q23_image_features"] = q23
 
     return q
 
