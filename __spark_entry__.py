@@ -12,8 +12,10 @@
                 functions/mercator.py) so value hashes match bit-for-bit;
                 FP aggregates go through exact decimal sums.
 
-Ops with no SQL expression (MinHash LSH, SimHash, hyperplane ANN) are
-registered without an oracle → driver records rows-only checks.
+MinHash (q19) and SimHash (q20) have EXACT brute-force oracles: their
+LSH stages are parameterized to be recall-lossless at the verify
+threshold, so the output equals the brute-force pair set.  Only the
+hyperplane-ANN (q22) and image-codec (q23) ops are rows-only.
 """
 
 from __future__ import annotations
@@ -363,7 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q18_ann_cosine_topk"] = q18
 
-    # rows-only (non-SQL-expressible): MinHash LSH, SimHash, hyperplane ANN
+    # q19/q20 are exact: the LSH stage only PROPOSES candidates and its
+    # parameters make the proposal lossless at the verify threshold
+    # (q19: 64 bands x 2 rows -> miss prob <= 1e-8 at s=0.5; q20:
+    # bands = max_hamming+1 is pigeonhole-lossless), so brute-force
+    # DuckDB oracles check them end-to-end.
     def q19(spark, sf):
         return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
 
@@ -567,5 +573,60 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
-    # q19/q20/q22: LSH-family ops — not SQL-expressible; rows-only checks.
+    # q19: brute-force 5-gram Jaccard — exact because the MinHash band
+    # stage is recall-lossless at the threshold (see queries()); jaccard
+    # is the same IEEE int/int division in both engines.
+    o["q19_minhash_pairs"] = """
+        WITH docs5 AS (
+          SELECT doc_id,
+                 CASE WHEN length(lower(text)) < 5
+                      THEN lower(text) || repeat(' ', 5 - length(lower(text)))
+                      ELSE lower(text) END AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::int, 5)))) AS g
+          FROM docs5
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.a AS a, i.b AS b, i.i::double / (ca.n + cb.n - i.i) AS jaccard
+        FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+        WHERE i.i::double / (ca.n + cb.n - i.i) >= 0.5
+    """
+
+    # q20: brute-force SimHash hamming pairs — exact because
+    # bands = max_hamming + 1 makes the band join pigeonhole-lossless.
+    # Token hash = low 64 bits of md5 (identical in both engines).
+    o["q20_simhash_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::ubigint AS hv FROM toks),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (hv >> b::int) & 1::ubigint = 1::ubigint THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+          GROUP BY 1, 2
+        ),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::ubigint << b::int)::hugeint ELSE 0::hugeint END)::ubigint AS simhash
+          FROM bits GROUP BY 1
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+    # q22 (hyperplane LSH ANN) / q23 (image codec features): genuinely
+    # non-SQL-expressible — rows-only checks; pytest twins bound recall.
     return o

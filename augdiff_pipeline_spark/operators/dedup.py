@@ -7,11 +7,22 @@
   deterministic across executors, no Python ``hash``); a self-join on
   (band, band_hash) yields candidate pairs; an exact n-gram Jaccard
   kernel verifies.  The self-join shuffles only signature rows
-  (docs × bands), never document text.
-- simhash_pairs: 64-bit SimHash in an Arrow kernel; candidates via
-  native band-extraction equi-join (shiftright/mask — JVM-side), verify
-  with native bit_count(a XOR b) <= t.  No text leaves the first kernel.
-- ngram_jaccard: exact pairwise verifier kernel (cogrouped by pair).
+  (docs × bands), never document text.  The signature kernel is fully
+  vectorized across the batch (concatenated-buffer sliding-window
+  hashing + per-salt ``minimum.reduceat``) — no per-doc Python loop.
+  Default band/row split (128 perms, 64 bands of 2 rows) makes the
+  per-pair miss probability at Jaccard s: (1 - s^2)^64 — ≤ 1e-8 at
+  s = 0.5 — so at the verify threshold the output equals the exact
+  brute-force pair set and a DuckDB brute-force oracle checks it
+  end-to-end.
+- simhash_column / simhash_pairs: 64-bit SimHash computed ENTIRELY in
+  native Spark SQL (whole-stage codegen, zero Python): token hash is the
+  low 64 bits of md5 (reproducible in any engine), bit-vote via
+  higher-order aggregate/zip_with.  Candidate bands are derived from the
+  threshold — bands = max_hamming + 1 — so by pigeonhole every pair with
+  hamming ≤ max_hamming shares at least one exact band: the candidate
+  stage is lossless and the output is exactly the brute-force pair set,
+  verified by a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -37,6 +48,7 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 # ------------------------------------------------------------ numpy hashing
 _M1 = np.uint64(0x9E3779B97F4A7C15)
 _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FNV_P = np.uint64(1099511628211)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -59,8 +71,46 @@ def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     k = len(a) - n + 1
     acc = np.zeros(k, dtype=np.uint64)
     for i in range(n):
-        acc = acc * np.uint64(1099511628211) + a[i : i + k]
+        acc = acc * _FNV_P + a[i : i + k]
     return np.unique(_mix64(acc))
+
+
+def _batch_shingle_hashes(texts: list[str], n: int = 5) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ``_shingle_hashes`` over a whole batch.
+
+    Returns (hashes, offsets, counts): per-doc-unique shingle hashes
+    concatenated doc-major, segment start offsets, and per-doc counts.
+    One sliding-window pass over the concatenated byte buffer — no
+    per-doc Python loop beyond the encode.
+    """
+    enc = []
+    for t in texts:
+        b = str(t).lower().encode("utf-8")
+        if len(b) < n:
+            b = b + b" " * (n - len(b))
+        enc.append(b)
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    k_per_doc = lens - n + 1
+    total = int(k_per_doc.sum())
+    kexcl = np.concatenate([[0], np.cumsum(k_per_doc)[:-1]])
+    # global byte position of each window start
+    pos = np.arange(total, dtype=np.int64) - np.repeat(kexcl, k_per_doc) + np.repeat(doc_starts, k_per_doc)
+    acc = np.zeros(total, dtype=np.uint64)
+    for i in range(n):
+        acc = acc * _FNV_P + buf[pos + i]
+    hv = _mix64(acc)
+    di = np.repeat(np.arange(len(texts), dtype=np.int64), k_per_doc)
+    # per-doc unique: sort by (doc, hash), drop repeats within a doc
+    order = np.lexsort((hv, di))
+    hv_s, di_s = hv[order], di[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (hv_s[1:] != hv_s[:-1]) | (di_s[1:] != di_s[:-1])
+    hv_u, di_u = hv_s[keep], di_s[keep]
+    cnts = np.bincount(di_u, minlength=len(texts)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    return hv_u, offs, cnts
 
 
 _SALT_CACHE: dict[tuple[int, int], np.ndarray] = {}
@@ -81,10 +131,11 @@ def minhash_signature(text: str, num_perm: int, seed: int = 1) -> np.ndarray:
     return _mix64(sh[None, :] ^ salts[:, None]).min(axis=1)
 
 
-def minhash_bands(docs: DataFrame, num_perm: int = 32, bands: int = 8,
+def minhash_bands(docs: DataFrame, num_perm: int = 128, bands: int = 64,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, band, band_hash) — the LSH bucket rows."""
     rows_per_band = num_perm // bands
+    salts = _salts(num_perm, 1)
 
     def kernel(it):
         for pdf in it:
@@ -96,9 +147,13 @@ def minhash_bands(docs: DataFrame, num_perm: int = 32, bands: int = 8,
                      "band_hash": pd.Series([], dtype="int64")}
                 )
                 continue
-            sigs = np.stack(
-                [minhash_signature(str(t), num_perm) for t in pdf[text_col]]
-            )  # (n, num_perm)
+            hv, offs, _ = _batch_shingle_hashes(list(pdf[text_col]))
+            # signature matrix: one vectorized pass per salt over ALL
+            # shingles in the batch (segments never empty: padding
+            # guarantees ≥1 shingle per doc)
+            sigs = np.empty((n, num_perm), dtype=np.uint64)
+            for j in range(num_perm):
+                sigs[:, j] = np.minimum.reduceat(_mix64(hv ^ salts[j]), offs)
             # band hash: mix-fold each band's rows, vectorized over docs
             bh = np.empty((n, bands), dtype=np.uint64)
             for b in range(bands):
@@ -119,10 +174,15 @@ def minhash_bands(docs: DataFrame, num_perm: int = 32, bands: int = 8,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 32, bands: int = 8,
+def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
                       jaccard_threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(a, b, jaccard) verified near-duplicate pairs, a < b."""
+    """(a, b, jaccard) verified near-duplicate pairs, a < b.
+
+    ``jaccard`` is the EXACT shingle-set Jaccard (the LSH only proposes
+    candidates); emitted as a raw IEEE division of two integers so any
+    engine recomputing it from the same shingle sets matches bit-for-bit.
+    """
     sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (
@@ -140,15 +200,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 32, bands: int = 8,
     def verify(it):
         for pdf in it:
             out_a, out_b, out_j = [], [], []
+            cache: dict[int, np.ndarray] = {}
+
+            def sh(doc, txt):
+                s = cache.get(doc)
+                if s is None:
+                    s = cache[doc] = _shingle_hashes(str(txt))
+                return s
+
             for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["ta"], pdf["tb"]):
-                sa, sb = _shingle_hashes(str(ta)), _shingle_hashes(str(tb))
+                sa, sb = sh(int(a), ta), sh(int(b), tb)
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
                 j = inter / union if union else 0.0
                 if j >= jaccard_threshold:
                     out_a.append(a)
                     out_b.append(b)
-                    out_j.append(round(j, 6))
+                    out_j.append(j)
             yield pd.DataFrame(
                 {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
                  "jaccard": pd.Series(out_j, dtype="float64")}
@@ -158,50 +226,72 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 32, bands: int = 8,
 
 
 # --------------------------------------------------------------------- simhash
+# Native-SQL SimHash: token hash = low 64 bits of md5(token), bit b of
+# the simhash is 1 iff sum over tokens of (bit b set ? +1 : -1) > 0.
+# All higher-order functions — whole-stage codegen, no shuffle, no
+# Python; bit assembly uses bitwise-or (ANSI-safe, no overflow).
+_TOKENS = "filter(split(lower({col}), '\\\\s+'), t -> t != '')"
+_TOK_HASH = (
+    "shiftleft(cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint), 32) | "
+    "cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)"
+)
+_BIT_VOTES = (
+    "aggregate(transform({tokens}, t -> {tok_hash}), array_repeat(0, 64), "
+    "(acc, hv) -> zip_with(acc, sequence(0, 63), "
+    "(a, b) -> a + IF((shiftrightunsigned(hv, b) & 1) = 1, 1, -1)))"
+)
+_FOLD_BITS = (
+    "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> "
+    "acc | IF(element_at({votes}, b + 1) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+)
+
+
+def simhash_expr(text_col: str) -> F.Column:
+    """64-bit SimHash of a text column as a single native expression."""
+    votes = _BIT_VOTES.format(
+        tokens=_TOKENS.format(col=text_col), tok_hash=_TOK_HASH
+    )
+    return F.expr(_FOLD_BITS.format(votes=votes))
+
+
 def simhash_column(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over whitespace tokens."""
+    """(doc_id, simhash) — 64-bit SimHash over whitespace tokens.
 
-    def kernel(it):
-        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for pdf in it:
-            out_id, out_h = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                if not toks:
-                    out_id.append(did)
-                    out_h.append(0)
-                    continue
-                hs = _mix64(
-                    np.array([np.uint64(abs(hash_bytes(t))) for t in toks], dtype=np.uint64)
-                )
-                bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
-                v = bits.sum(axis=0) * 2 - len(toks)
-                h = np.uint64(0)
-                for i in range(64):
-                    if v[i] > 0:
-                        h |= bitcols[i]
-                out_id.append(did)
-                out_h.append(int(h.astype(np.int64)))
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(out_id, dtype="int64"), "simhash": pd.Series(out_h, dtype="int64")}
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, simhash long")
+    Two-step select so the 64-vote array materializes once per row
+    instead of once per output bit.
+    """
+    votes = _BIT_VOTES.format(tokens=_TOKENS.format(col=text_col), tok_hash=_TOK_HASH)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.expr(votes).alias("_votes"))
+        .select("doc_id", F.expr(_FOLD_BITS.format(votes="_votes")).alias("simhash"))
+    )
 
 
-def hash_bytes(t: str) -> int:
-    """Deterministic FNV-1a 64 of a token (no PYTHONHASHSEED dependence)."""
-    h = 0xCBF29CE484222325
-    for c in t.encode("utf-8"):
-        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _band_splits(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(offset, width) for each of ``bands`` near-equal bit bands."""
+    base, extra = divmod(bits, bands)
+    out, off = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(a, b, hamming) near-dup pairs via 4x16-bit band candidates +
-    native bit_count verify.  By pigeonhole, hamming<=3 pairs share at
-    least one of 4 bands exactly."""
+    """(a, b, hamming) near-dup pairs via lossless banded candidates +
+    native bit_count verify.
+
+    bands = max_hamming + 1: by pigeonhole, any pair with hamming ≤
+    max_hamming has at least one band with ZERO differing bits, so the
+    band equi-join proposes every qualifying pair — the result is exactly
+    the brute-force pair set (DuckDB-oracle checkable).  All stages are
+    JVM-native; the self-join shuffles (docs × bands) short rows.
+    """
+    if max_hamming >= 64:
+        raise ValueError("max_hamming must be < 64")
+    bands = max_hamming + 1
     sh = simhash_column(docs, text_col, id_col)
     banded = sh.select(
         "doc_id", "simhash",
@@ -209,9 +299,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftrightunsigned(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
                 )
-                for i in range(4)
+                for i, (off, w) in enumerate(_band_splits(64, bands))
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

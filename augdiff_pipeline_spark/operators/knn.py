@@ -95,6 +95,7 @@ def knn_join(
                 cand_idx = np.empty(0, dtype=np.int64)
                 d2 = None
                 r = 0
+                proven = False
                 while r <= max_rings:
                     ring = cells.ring_cells(cix, ciy, res, r)
                     cand_idx = np.concatenate([cand_idx, _gather_cells(fcell, ring)])
@@ -107,11 +108,20 @@ def knn_join(
                         d2 = dx * dx + dy * dy
                         kth = np.sort(d2, axis=1)[:, min(k, d2.shape[1]) - 1]
                         if (kth <= safe).all():
+                            proven = True
                             break
                         d2 = None
                     r += 1
+                if not proven:
+                    # ring budget exhausted without a proven-exact bound
+                    # (sparse feature layout, or fewer than k features):
+                    # score the FULL broadcast feature array — it is
+                    # already in memory, so exactness costs one matmul
+                    # for this (rare) cell instead of dropped rows.
+                    cand_idx = np.arange(len(fid), dtype=np.int64)
+                    d2 = None
                 if len(cand_idx) == 0:
-                    continue
+                    continue  # feature table itself is empty
                 if d2 is None:
                     dx = fx[cand_idx][None, :] - plon[:, None]
                     dy = fy[cand_idx][None, :] - plat[:, None]

@@ -35,6 +35,21 @@ from ..geometry import core, wkb
 from .interval_index import IntervalIndex
 
 
+# Above this many estimated bytes the layer is NOT collected to the
+# driver — pip_join_broadcast routes to cell_equi_join instead (a 10 GB
+# layer would OOM the driver and swamp executor broadcast memory).
+DEFAULT_MAX_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def estimate_layer_bytes(layer: DataFrame) -> int:
+    """Cheap aggregate scan (layer side only): wkb bytes + ~32B/row of
+    interval/id overhead."""
+    row = layer.select(
+        (F.sum(F.length("geom_wkb")) + F.count(F.lit(1)) * 32).alias("b")
+    ).first()
+    return int(row["b"] or 0)
+
+
 def collect_layer(layer: DataFrame):
     """Collect the polygon layer into broadcastable numpy structures."""
     rows = layer.select("feature_id", "geom_wkb", "cell_lo", "cell_hi").collect()
@@ -74,12 +89,22 @@ def pip_join_broadcast(
     layer: DataFrame,
     id_col: str = "image_id",
     passthrough: list[str] | None = None,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    equi_join_res: int = 12,
 ) -> DataFrame:
     """(image_id, feature_id, *passthrough) via broadcast sorted-interval
     index.  ``passthrough`` columns ride along on hit rows so downstream
     stages (tile rollups etc.) never need to join back onto the
-    10^12-row fact table — the whole join is one scan, zero shuffles."""
+    10^12-row fact table — the whole join is one scan, zero shuffles.
+
+    Guard: if the layer's estimated size exceeds ``max_broadcast_bytes``
+    it is never collected to the driver — the join routes to
+    ``cell_equi_join`` (shuffle-on-cell strategy) automatically.
+    """
     spark = images.sparkSession
+    if estimate_layer_bytes(layer) > max_broadcast_bytes:
+        return cell_equi_join(images, layer, res=equi_join_res, id_col=id_col,
+                              passthrough=passthrough)
     idx, geoms = collect_layer(layer)
     bc = spark.sparkContext.broadcast((idx, geoms))
     passthrough = passthrough or []
@@ -132,21 +157,26 @@ def cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
     def kernel(it):
         shift = 2 * (cells.MAX_RES - res)
         for pdf in it:
-            out_c, out_f, out_fl = [], [], []
-            for fid, lo, hi, fl in zip(
-                pdf["feature_id"], pdf["cell_lo"], pdf["cell_hi"], pdf["cell_full"]
-            ):
-                c0 = int(lo) >> shift
-                c1 = int(hi) >> shift
-                for c in range(c0, c1 + 1):
-                    out_c.append(c)
-                    out_f.append(fid)
-                    out_fl.append(bool(fl))
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"cell": pd.Series([], dtype="int64"),
+                     "feature_id": pd.Series([], dtype="int64"),
+                     "full": pd.Series([], dtype="bool")}
+                )
+                continue
+            c0 = pdf["cell_lo"].to_numpy(dtype=np.int64) >> shift
+            c1 = pdf["cell_hi"].to_numpy(dtype=np.int64) >> shift
+            n = c1 - c0 + 1  # interval lengths at target res (>= 1)
+            total = int(n.sum())
+            # vectorized interval explosion: global position minus each
+            # interval's exclusive prefix gives the within-interval step
+            excl = np.concatenate([[0], np.cumsum(n)[:-1]])
+            step = np.arange(total, dtype=np.int64) - np.repeat(excl, n)
             yield pd.DataFrame(
                 {
-                    "cell": pd.Series(out_c, dtype="int64"),
-                    "feature_id": pd.Series(out_f, dtype="int64"),
-                    "full": pd.Series(out_fl, dtype="bool"),
+                    "cell": np.repeat(c0, n) + step,
+                    "feature_id": np.repeat(pdf["feature_id"].to_numpy(dtype=np.int64), n),
+                    "full": np.repeat(pdf["cell_full"].to_numpy(dtype=bool), n),
                 }
             )
 

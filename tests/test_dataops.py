@@ -62,14 +62,67 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     a = _shingle_hashes("prefix " + BASE)
     b = _shingle_hashes("prefix " + BASE.replace("fudge", "cake"))
     inter = len(np.intersect1d(a, b, assume_unique=True))
-    want = round(inter / (len(a) + len(b) - inter), 6)
+    want = inter / (len(a) + len(b) - inter)
     assert pairs[(300, 301)] == want
+
+
+def _brute_jaccard_pairs(rows, threshold):
+    out = {}
+    for i, (ida, ta) in enumerate(rows):
+        sa = _shingle_hashes(ta)
+        for idb, tb in rows[i + 1 :]:
+            sb = _shingle_hashes(tb)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(min(ida, idb), max(ida, idb))] = j
+    return out
+
+
+def test_minhash_lsh_recall_is_complete(spark, docs):
+    """At the default 64x2 band split, LSH recall at threshold 0.5 is
+    1 - (1-s^2)^64 >= 1 - 1e-8 per pair — the verified output must equal
+    the brute-force pair set on this corpus."""
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _brute_jaccard_pairs(rows, 0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert got == want
+
+
+def test_batch_shingles_match_per_doc():
+    from augdiff_pipeline_spark.operators.dedup import _batch_shingle_hashes
+
+    texts = [BASE, "tiny", "", BASE.replace("fox", "ox"), "a b " * 50]
+    hv, offs, cnts = _batch_shingle_hashes(texts)
+    for i, t in enumerate(texts):
+        seg = np.sort(hv[offs[i] : offs[i] + cnts[i]])
+        assert (seg == _shingle_hashes(t)).all(), i
 
 
 def test_simhash_pairs(spark, docs):
     pairs = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
     assert (200, 201) in pairs
     assert (300, 301) in pairs
+
+
+def test_simhash_pairs_equal_brute_force(spark, docs):
+    """bands = max_hamming + 1 is pigeonhole-lossless: the banded join
+    must reproduce the brute-force pair set exactly, including pairs
+    whose differing bits are spread so that every 16-bit quarter differs
+    (the round-1 recall bug class)."""
+    from augdiff_pipeline_spark.operators.dedup import simhash_column
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_column(docs).collect()}
+    ids = sorted(sh)
+    for mh in (3, 6, 10):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= mh
+        }
+        got = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=mh).collect()}
+        assert got == want, mh
 
 
 @pytest.fixture(scope="module")

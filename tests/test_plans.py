@@ -58,6 +58,21 @@ def test_pip_broadcast_path_has_no_shuffle(spark):
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
 
 
+def test_pip_broadcast_guard_routes_oversized_layer(spark):
+    """A layer above the broadcast budget must never be collected to the
+    driver: pip_join_broadcast routes to the cell equi-join strategy and
+    the result is unchanged."""
+    layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
+    images = fixtures.image_df(spark, 500).select("image_id", "lon", "lat")
+    routed = pip_join_broadcast(images, layer, max_broadcast_bytes=1)
+    plan = plan_of(routed)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Union" in plan  # full-cell fast path ∪ boundary refine
+    want = {(r["image_id"], r["feature_id"]) for r in pip_join_broadcast(images, layer).collect()}
+    got = {(r["image_id"], r["feature_id"]) for r in routed.collect()}
+    assert got == want
+
+
 def test_tile_exprs_are_codegen(spark, tmp_path):
     from augdiff_pipeline_spark.operators.tiling import assign_tiles
 

@@ -163,6 +163,41 @@ def test_knn_matches_bruteforce(spark, images):
     assert (counts == k).all() and len(counts) == N_IMG
 
 
+def test_knn_sparse_features_no_silent_drop(spark):
+    """Features farther than max_rings cells from the query points: ring
+    expansion exhausts its budget; every point must STILL get its exact
+    k matches via the full-scan fallback (round-1 bug: points vanished)."""
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p0", "p1"], "lon": [0.0, 0.1], "lat": [0.0, 0.1]})
+    )
+    # at res=10 a cell is ~0.35 deg wide; 64 rings ≈ 22 deg — put the
+    # features 60+ degrees away and on the other side of the world
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {"feature_id": [1, 2, 3], "lon": [120.0, -150.0, 60.0], "lat": [70.0, -80.0, -60.0]}
+        )
+    )
+    got = knn_join(pts, feats, k=2, res=10, max_rings=4).toPandas()
+    assert sorted(got["image_id"].unique()) == ["p0", "p1"]
+    for pid, plon, plat in [("p0", 0.0, 0.0), ("p1", 0.1, 0.1)]:
+        d2 = {f: (lo - plon) ** 2 + (la - plat) ** 2
+              for f, lo, la in [(1, 120.0, 70.0), (2, -150.0, -80.0), (3, 60.0, -60.0)]}
+        want = sorted(d2, key=lambda f: (d2[f], f))[:2]
+        mine = got[got["image_id"] == pid].sort_values("knn_rank")["feature_id"].tolist()
+        assert mine == want, (pid, mine, want)
+
+
+def test_knn_k_exceeds_feature_count(spark):
+    """k larger than the feature table: emit all features ranked, not a
+    crash or silence."""
+    pts = spark.createDataFrame(pd.DataFrame({"image_id": ["p"], "lon": [1.0], "lat": [1.0]}))
+    feats = spark.createDataFrame(
+        pd.DataFrame({"feature_id": [7, 8], "lon": [1.1, 1.2], "lat": [1.0, 1.0]})
+    )
+    got = knn_join(pts, feats, k=5, res=10).toPandas().sort_values("knn_rank")
+    assert got["feature_id"].tolist() == [7, 8]
+
+
 def test_tiling_assignment_and_fidelity(spark):
     pdf = fixtures.image_rows(200)
     df = spark.createDataFrame(pdf)
