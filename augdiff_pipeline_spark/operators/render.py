@@ -243,37 +243,48 @@ def _assemble_relations(members: DataFrame) -> DataFrame:
 def emit_features(
     hist: DataFrame, after_wkb: DataFrame, before_wkb: DataFrame, etype: str
 ) -> DataFrame:
-    """GeoJSON feature lines per the create/modify/delete state machine."""
+    """GeoJSON feature lines per the create/modify/delete state machine
+    (RowsToJson.scala:353-383).
+
+    The branching is NATIVE DataFrame logic (create → after feature;
+    modify → after + invisible-before; delete → invisible-before); only
+    the WKB→GeoJSON render crosses into the Arrow kernel, one output row
+    per input row (no per-row pandas iteration, no branch work in
+    Python).  ``sub`` orders after(0)/before(1) lines of one entity
+    deterministically for the sink.
+    """
     h = (
         hist.join(after_wkb.withColumnRenamed("wkb", "a_wkb"), "id", "left")
         .join(before_wkb.withColumnRenamed("wkb", "b_wkb"), "id", "left")
         .filter(F.col("in_row").isNotNull())
     )
+    visible_now = F.col("in_row")["visible"]
+    has_before = F.col("before_row")["id"].isNotNull()
+    # after-line: created or modified, currently visible, renderable
+    after = h.filter(visible_now & F.col("a_wkb").isNotNull()).select(
+        F.col("a_wkb").alias("gwkb"),
+        F.col("in_row").alias("row"),
+        F.lit(None).cast("boolean").alias("vis_override"),
+        F.lit(0).alias("sub"),
+    )
+    # before-line: modify or delete — always emitted invisible
+    before = h.filter(has_before & F.col("b_wkb").isNotNull()).select(
+        F.col("b_wkb").alias("gwkb"),
+        F.col("before_row").alias("row"),
+        F.lit(False).alias("vis_override"),
+        F.lit(1).alias("sub"),
+    )
+    sel = after.unionByName(before)
 
     def kernel(it):
         for pdf in it:
-            out_type, out_id, out_line = [], [], []
-            for _, r in pdf.iterrows():
-                in_row, before_row = r["in_row"], r["before_row"]
-                has_before = before_row is not None and before_row.get("id") is not None
-                visible_now = bool(in_row["visible"])
-                feats = []
-                if not has_before:  # create
-                    if visible_now and r["a_wkb"] is not None:
-                        feats.append((r["a_wkb"], in_row, None))
-                else:
-                    if visible_now:  # modify
-                        if r["a_wkb"] is not None:
-                            feats.append((r["a_wkb"], in_row, None))
-                        if r["b_wkb"] is not None:
-                            feats.append((r["b_wkb"], before_row, False))
-                    else:  # delete
-                        if r["b_wkb"] is not None:
-                            feats.append((r["b_wkb"], before_row, False))
-                for gwkb, row, vis_override in feats:
-                    geom = wkb.loads(bytes(gwkb))
-                    props = _props(row, vis_override)
-                    line = json.dumps(
+            out_id, out_line = [], []
+            for gwkb, row, vo in zip(pdf["gwkb"], pdf["row"], pdf["vis_override"]):
+                geom = wkb.loads(bytes(gwkb))
+                props = _props(row, None if pd.isna(vo) else bool(vo))
+                out_id.append(int(row["id"]))
+                out_line.append(
+                    json.dumps(
                         {
                             "type": "Feature",
                             "geometry": core.to_geojson_dict(geom),
@@ -282,12 +293,17 @@ def emit_features(
                         ensure_ascii=False,
                         separators=(",", ":"),
                     )
-                    out_type.append(etype)
-                    out_id.append(int(row["id"]))
-                    out_line.append(line)
-            yield pd.DataFrame({"etype": out_type, "id": out_id, "feature": out_line})
+                )
+            yield pd.DataFrame(
+                {
+                    "etype": pd.Series([etype] * len(out_id), dtype="object"),
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "sub": pdf["sub"].astype("int32"),
+                    "feature": pd.Series(out_line, dtype="object"),
+                }
+            )
 
-    return h.mapInPandas(kernel, "etype string, id long, feature string")
+    return sel.mapInPandas(kernel, "etype string, id long, sub int, feature string")
 
 
 def _props(row, visible_override) -> dict:

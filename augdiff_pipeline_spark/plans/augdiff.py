@@ -118,7 +118,7 @@ def run_batch(
     with timer.time("write_features"):
         ordered = feats.withColumn(
             "ord", F.when(F.col("etype") == "node", 0).when(F.col("etype") == "way", 1).otherwise(2)
-        ).orderBy("ord", "id").select("feature")
+        ).orderBy("ord", "id", "sub").select("feature")
         path = os.path.join(out_dir, f"seq={seq:09d}")
         ordered.coalesce(1).write.mode("overwrite").text(path)
     log.record_stage(spark, seq, "features", feats)

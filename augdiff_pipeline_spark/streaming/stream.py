@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from ..plans.augdiff import run_batch
 from ..plans.lineage import LineageLog
+from ..plans.runner import _rollback_uncommitted
 from ..schemas import OSM_SCHEMA
 from ..sources.catalog import SnapshotTable
 from ..sources.state import StateTable
@@ -58,6 +59,12 @@ def stream_augdiff(
     def process(micro_df: DataFrame, epoch_id: int) -> None:
         seqs = [r["seq"] for r in micro_df.select("seq").distinct().collect()]
         committed = set(log.committed_seqs(spark))
+        # same crash-recovery contract as plans/runner.resume_and_run: a
+        # crash between a state/index append and the lineage COMMIT
+        # marker leaves snapshots tagged with an uncommitted seq — roll
+        # them back BEFORE rerunning, or the rerun double-appends rows.
+        _rollback_uncommitted(state.table, committed)
+        _rollback_uncommitted(index, committed)
         for seq in sorted(seqs):
             if seq in committed:
                 continue  # idempotent on re-delivery / restart replay

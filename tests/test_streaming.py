@@ -66,6 +66,44 @@ def test_streaming_augdiff_first_batches(spark, tmp_path):
         assert got == want, f"seq {seq}"
 
 
+def test_streaming_rolls_back_partial_commit(spark, tmp_path):
+    """Crash between state.append_batch and the lineage COMMIT marker,
+    then stream restart: the orphan snapshot must be rolled back before
+    the seq reruns, or state rows double-append (round-1 ADVICE item)."""
+    root = str(tmp_path)
+    changes_dir, ckpt = root + "/changes", root + "/ckpt"
+    state = StateTable(root + "/state")
+    index = SnapshotTable(root + "/index")
+    log = LineageLog(root + "/log")
+    out_dir = root + "/out"
+
+    base_df = fixtures.base_state_df(spark)
+    state.init(base_df)
+    index.overwrite(transitive_closure(edges_from_rows(base_df)))
+
+    batches = fixtures.change_batch_rows()
+    for seq in (0, 1):
+        write_change_file(spark, fixtures.change_batch_df(spark, seq), seq, changes_dir)
+    # simulate the crash: seq 1's state append landed, no commit marker
+    state.append_batch(fixtures.change_batch_df(spark, 1), 1)
+
+    q = stream_augdiff(spark, changes_dir, ckpt, state, index, log, out_dir)
+    q.awaitTermination(300)
+    assert log.committed_seqs(spark) == [0, 1]
+
+    sdf = state.read(spark)
+    total = sdf.count()
+    expected_total = len(fixtures.base_state_rows()) + len(batches[0]) + len(batches[1])
+    assert total == expected_total  # no duplicated seq-1 rows
+    assert sdf.select("id", "type", "version").distinct().count() == total
+
+    expected, _ = oracle.run_sequence(fixtures.base_state_rows(), {0: batches[0], 1: batches[1]})
+    for seq in (0, 1):
+        got = read_features(out_dir, seq)
+        want = sorted(json.dumps(f, sort_keys=True) for f in expected[seq])
+        assert got == want, f"seq {seq}"
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src_dir = str(tmp_path / "events")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
