@@ -55,6 +55,10 @@ MPI = _put_nodes(1040, [(10.060, 50.060), (10.070, 50.060), (10.070, 50.070), (1
 LONER = _put_nodes(1050, [(10.090, 50.010)])
 # route polyline
 RT = _put_nodes(1060, [(10.000, 50.090), (10.010, 50.092), (10.020, 50.094), (10.030, 50.096), (10.040, 50.098)])
+# overlapping multipolygon outers (two closed squares sharing a corner
+# region — exercises the dissolveRings union, reference :461-468)
+OVA = _put_nodes(1200, [(10.100, 50.100), (10.120, 50.100), (10.120, 50.120), (10.100, 50.120)])
+OVB = _put_nodes(1210, [(10.110, 50.110), (10.130, 50.110), (10.130, 50.130), (10.110, 50.130)])
 # filler POI nodes
 _rng = np.random.default_rng(SEED)
 FILLER = _put_nodes(
@@ -71,6 +75,8 @@ WAYS: dict[int, dict] = {
     2005: {"nds": MPI + [MPI[0]], "tags": {}},
     2006: {"nds": RT[:3], "tags": {"railway": "rail"}},
     2007: {"nds": RT[2:], "tags": {"railway": "rail"}},
+    2008: {"nds": OVA + [OVA[0]], "tags": {}},
+    2009: {"nds": OVB + [OVB[0]], "tags": {}},
 }
 
 RELATIONS: dict[int, dict] = {
@@ -89,6 +95,10 @@ RELATIONS: dict[int, dict] = {
     3003: {
         "members": [("way", 2006, ""), ("way", 2007, "")],
         "tags": {"type": "multilinestring"},
+    },
+    3004: {  # overlapping outers -> dissolved union polygon
+        "members": [("way", 2008, "outer"), ("way", 2009, "outer")],
+        "tags": {"type": "multipolygon", "natural": "water"},
     },
 }
 
@@ -225,6 +235,11 @@ def change_batch_rows() -> dict[int, list[tuple]]:
     b[7] = [
         _tombstone(3005, "relation", 2, _ts(8)),
         _way_row(2012, 2, _ts(8, 1), nds=[1100, 1101, FILLER[0], FILLER[1]], tags={"highway": "path"}),
+    ]
+    b[8] = [
+        # corner of overlapping-outer square moves -> w2008 + r3004 dirty;
+        # r3004 must re-render as the DISSOLVED union polygon
+        _node_row(1200, 2, _ts(9), lon=10.098, lat=50.098),
     ]
     return b
 

@@ -129,6 +129,19 @@ def test_scenarios_present(pipeline_run):
     # ...but the way modified in the same batch renders normally
     assert len(by(f7, "way", 2012)) == 2
 
+    # seq8: overlapping outer rings dissolve into a UNION polygon (the
+    # reference's JTS unaryUnion step, osm/package.scala:461-468) — not a
+    # GeometryCollection fallback
+    f8 = read_features(out, 8)
+    r4 = by(f8, "relation", 3004)
+    assert len(r4) == 2  # modify: after + invisible before
+    for feat in r4:
+        assert feat["geometry"]["type"] == "Polygon", feat["geometry"]["type"]
+        assert len(feat["geometry"]["coordinates"]) == 1  # single dissolved ring
+        # union boundary: 8 corners minus 2 swallowed, plus 2 crossing
+        # points = 8 distinct vertices, 9 rows with ring closure
+        assert len(feat["geometry"]["coordinates"][0]) == 9
+
 
 def test_resume_after_partial_commit(spark, pipeline_run, tmp_path):
     """Crash between state append and lineage commit → resume reruns the
