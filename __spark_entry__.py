@@ -401,6 +401,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q22_lsh_ann"] = q22
 
+    # ---- temporal / analytic extensions (round 2) ----
+    def q24(spark, sf):  # rollup with grouping ids
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+                .cast("int")
+                .alias("gid"),
+            )
+            .select(
+                F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+                F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+                "gid",
+                "n_rows",
+                "sum_qty",
+            )
+        )
+
+    q["q24_rollup"] = q24
+
+    def q25(spark, sf):  # as-of join: purchase -> latest prior click
+        from augdiff_pipeline_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        return asof_join(purchases, clicks, keys=["user_id"], ts="ts", right_cols=[])
+
+    q["q25_asof_join"] = q25
+
+    def q26(spark, sf):  # session windows (30-minute gap)
+        from augdiff_pipeline_spark.operators.temporal import sessionize
+
+        return sessionize(_t(spark, sf, "events"), "user_id", "ts", "30 minutes")
+
+    q["q26_session_windows"] = q26
+
+    def q27(spark, sf):  # pivot (explicit value list -> stable schema)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+            .count()
+            .na.fill(0)
+        )
+
+    q["q27_pivot"] = q27
+
+    def q28(spark, sf):  # rank family: rank / dense_rank / ntile
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+
+    q["q28_rank_ntile"] = q28
+
     def q23(spark, sf):  # multimodal plumbing: decode → features (rows-only)
         import numpy as np
         import pandas as pd
@@ -625,6 +691,67 @@ def oracle_sql() -> dict[str, str]:
                cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+    o["q24_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS int) AS gid,
+               count(*) AS n_rows,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q25_asof_join"] = """
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    # session semantics (Spark session_window): events merge while the
+    # gap to the previous event is <= 30 minutes (boundary INCLUSIVE);
+    # a strictly larger gap starts a new session; session_end = last + gap
+    o["q26_session_windows"] = """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """
+
+    o["q27_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'view') AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id
+    """
+
+    o["q28_rank_ntile"] = """
+        SELECT user_id, event_id,
+               cast(rank() OVER w AS bigint) AS rnk,
+               cast(dense_rank() OVER w AS bigint) AS drnk,
+               cast(ntile(4) OVER w AS int) AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
     """
 
     # q22 (hyperplane LSH ANN) / q23 (image codec features): genuinely
