@@ -47,6 +47,26 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
     return _MAGIC + struct.pack("<BHH", flag, w, h) + payload
 
 
+def encode_batch(stack: np.ndarray, fmt: str) -> list[bytes]:
+    """Encode a (n, h, w, 3) uint8 stack: the transform stage (lossy
+    quantization) runs vectorized over the whole stack; only the entropy
+    stage (zlib, = what libjpeg's arithmetic coder would be) is per tile.
+    ~2x fewer Python ops per tile than calling encode() in a loop."""
+    n, h, w, c = stack.shape
+    assert c == 3 and stack.dtype == np.uint8
+    if fmt == "png":
+        flag = 0
+    elif fmt == "jpeg":
+        stack = (stack >> (8 - _LOSSY_BITS)) << (8 - _LOSSY_BITS)
+        flag = 1
+    else:
+        raise NotImplementedError(f"codec stub supports png|jpeg, got {fmt!r}")
+    header = _MAGIC + struct.pack("<BHH", flag, w, h)
+    flat = np.ascontiguousarray(stack).reshape(n, -1)
+    comp = zlib.compress
+    return [header + comp(flat[i].tobytes(), 6) for i in range(n)]
+
+
 def decode(data: bytes) -> np.ndarray:
     """byte payload -> (h, w, 3) uint8 decoded pixels."""
     if data[:4] != _MAGIC:

@@ -91,11 +91,23 @@ def pip_join_broadcast(
     passthrough: list[str] | None = None,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     equi_join_res: int = 12,
+    prefilter_res: int | None = 14,
+    max_prefilter_cells: int = 2_000_000,
 ) -> DataFrame:
     """(image_id, feature_id, *passthrough) via broadcast sorted-interval
     index.  ``passthrough`` columns ride along on hit rows so downstream
     stages (tile rollups etc.) never need to join back onto the
-    10^12-row fact table — the whole join is one scan, zero shuffles.
+    10^12-row fact table — the whole join is one scan, zero fact-side
+    shuffles.
+
+    Prefilter: before any row crosses the Python boundary, a NATIVE
+    broadcast left-semi join against the layer's distinct cover cells at
+    ``prefilter_res`` drops every row that cannot hit any polygon (cover
+    cells are supersets of the polygons).  The Arrow transport — the
+    per-row cost floor of this path — then only pays for plausible
+    candidates; everything else stays inside whole-stage codegen.  The
+    resolution steps down automatically if the cover set would exceed
+    ``max_prefilter_cells`` (broadcast budget); None disables.
 
     Guard: if the layer's estimated size exceeds ``max_broadcast_bytes``
     it is never collected to the driver — the join routes to
@@ -105,6 +117,27 @@ def pip_join_broadcast(
     if estimate_layer_bytes(layer) > max_broadcast_bytes:
         return cell_equi_join(images, layer, res=equi_join_res, id_col=id_col,
                               passthrough=passthrough)
+    if prefilter_res is not None:
+        res = prefilter_res
+        covers = None
+        while res >= 4:
+            c = cover_cells_df(layer, res).select("cell").distinct()
+            if c.count() <= max_prefilter_cells:
+                covers = c
+                break
+            res -= 2
+        if covers is not None:
+            images = (
+                images.withColumn(
+                    "_pfcell", cells.morton_col(F.col("lon"), F.col("lat"), res)
+                )
+                .join(
+                    F.broadcast(covers.withColumnRenamed("cell", "_pfcell")),
+                    "_pfcell",
+                    "left_semi",
+                )
+                .drop("_pfcell")
+            )
     idx, geoms = collect_layer(layer)
     bc = spark.sparkContext.broadcast((idx, geoms))
     passthrough = passthrough or []

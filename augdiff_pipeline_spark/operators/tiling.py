@@ -91,9 +91,7 @@ def cut_tiles(
                 out["tiy"].append(tys.astype(np.int32))
                 out["tix"].append(txs.astype(np.int32))
                 flat = grid.reshape(nt, tile_px, tile_px, 3)
-                out["tile_bytes"].extend(
-                    imgcodec.encode(np.ascontiguousarray(flat[t]), fmt) for t in range(nt)
-                )
+                out["tile_bytes"].extend(imgcodec.encode_batch(flat, fmt))
                 out["psnr_db"].append(psnrs.ravel())
             if not out["image_id"]:
                 yield pd.DataFrame(

@@ -79,6 +79,31 @@ def stream_augdiff(
     )
 
 
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows: per-user sessions that merge while
+    consecutive events arrive within ``gap`` (boundary inclusive — the
+    same native session_window operator the batch path
+    (operators/temporal.sessionize) uses, so batch and streaming agree
+    row-for-row on closed sessions).  Watermark bounds state: sessions
+    older than the watermark finalize and evict."""
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",

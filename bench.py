@@ -193,8 +193,15 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
 
     def timed(name, fn):
+        if only and name not in only:
+            return None
         best = float("inf")
         for _ in range(repeat):
             t0 = time.time()
@@ -217,7 +224,8 @@ def main() -> None:
         return out.count()
 
     timed("pip_tile", pip_tile)
-    extras["pip_tile_images_per_sec"] = round(n_meta / timings["pip_tile"], 1)
+    if "pip_tile" in timings:
+        extras["pip_tile_images_per_sec"] = round(n_meta / timings["pip_tile"], 1)
 
     # 1b. same join through the broadcast sorted-interval kernel (the
     # strategy for layers too big to explode into cover cells)
@@ -225,23 +233,26 @@ def main() -> None:
         return pip_join_broadcast(meta, layer).count()
 
     timed("pip_scan", pip_scan)
-    extras["pip_scan_images_per_sec"] = round(n_meta / timings["pip_scan"], 1)
+    if "pip_scan" in timings:
+        extras["pip_scan_images_per_sec"] = round(n_meta / timings["pip_scan"], 1)
 
     # 2. kNN
     timed("knn", lambda: knn_join(meta, feats, k=3, res=10).count())
-    extras["knn_images_per_sec"] = round(n_meta / timings["knn"], 1)
+    if "knn" in timings:
+        extras["knn_images_per_sec"] = round(n_meta / timings["knn"], 1)
 
     # 3. tile cut on a ~10k-image hash sample (decode/crop/encode
     # dominated; a hash filter keeps the sample spread across ALL input
     # partitions — limit() would collapse to one task and serialize)
-    tile_sample = int(os.environ.get("SPARK_GRAFT_TILE_SAMPLE", "10000"))
-    frac = max(1, n_images // tile_sample)
-    img_slice = images.filter(
-        F.pmod(F.xxhash64(F.col("image_id")), F.lit(frac)) == 0
-    ).localCheckpoint(eager=True)
-    slice_n = img_slice.count()
-    timed("tile_cut", lambda: cut_tiles(assign_tiles(img_slice, z=14), tile_px=16).count())
-    extras["tile_cut_images_per_sec"] = round(slice_n / timings["tile_cut"], 1)
+    if not only or "tile_cut" in only:
+        tile_sample = int(os.environ.get("SPARK_GRAFT_TILE_SAMPLE", "10000"))
+        frac = max(1, n_images // tile_sample)
+        img_slice = images.filter(
+            F.pmod(F.xxhash64(F.col("image_id")), F.lit(frac)) == 0
+        ).localCheckpoint(eager=True)
+        slice_n = img_slice.count()
+        timed("tile_cut", lambda: cut_tiles(assign_tiles(img_slice, z=14), tile_px=16).count())
+        extras["tile_cut_images_per_sec"] = round(slice_n / timings["tile_cut"], 1)
 
     # 4-6. relational spine on the driver tables
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

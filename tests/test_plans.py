@@ -53,9 +53,21 @@ def test_pip_broadcast_path_has_no_shuffle(spark):
     images = fixtures.image_df(spark, 500).select("image_id", "lon", "lat")
     joined = pip_join_broadcast(images, layer)
     plan = plan_of(joined)
-    # fact side: scan → (project) → mapInArrow; zero exchanges
-    assert "Exchange" not in plan, plan
+    # fact side: scan → native semi-join prefilter → mapInArrow.  The
+    # only shuffles allowed belong to the LAYER side (the cover-cell
+    # distinct feeding the broadcast): every hash exchange must
+    # partition on the cover 'cell' key, never on fact columns
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z_]+)#", plan):
+        assert m.group(1) == "cell", plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
+
+    # with the prefilter off the fact side has ZERO exchanges of any kind
+    plain = plan_of(pip_join_broadcast(images, layer, prefilter_res=None))
+    assert "Exchange" not in plain, plain
 
 
 def test_pip_broadcast_guard_routes_oversized_layer(spark):

@@ -14,6 +14,7 @@ from augdiff_pipeline_spark.plans.lineage import LineageLog
 from augdiff_pipeline_spark.sources.catalog import SnapshotTable
 from augdiff_pipeline_spark.sources.state import StateTable
 from augdiff_pipeline_spark.streaming.stream import (
+    sessionized_event_counts,
     stream_augdiff,
     windowed_event_counts,
     write_change_file,
@@ -130,3 +131,34 @@ def test_windowed_event_counts(spark, tmp_path):
     gk = {(k[0].tz_localize(None) if hasattr(k[0], "tz_localize") and k[0].tzinfo else k[0], k[1]): v for k, v in g.items()}
     wk = {(k[0].tz_localize(None) if hasattr(k[0], "tz_localize") and k[0].tzinfo else k[0], k[1]): v for k, v in w.items()}
     assert gk == wk
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """Closed streaming sessions must equal the batch sessionize output
+    (same native session_window operator on both paths)."""
+    from augdiff_pipeline_spark.operators.temporal import sessionize
+
+    src_dir = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        sessionized_event_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(
+            ev.withColumn("ts", F.col("ts").cast("timestamp")), "user_id", "ts", "30 minutes"
+        ).collect()
+    }
+    assert got == want and len(want) > 100
