@@ -4,7 +4,8 @@
                 engine's OSM-fixture polygon layer (broadcast
                 sorted-interval PIP) + kNN + ZXY tiles.
 ``queries``   — one entry per implemented operator family (SURVEY.md §2 +
-                the training-data ops); each runs on the driver's
+                the training-data ops + round-2 temporal/analytic
+                extensions q24-q28); each runs on the driver's
                 TPC-H-ish tables at ``sf_dir``.
 ``oracle_sql``— exact DuckDB twins.  All cross-engine expressions use
                 integer arithmetic, shared regex semantics, or identical

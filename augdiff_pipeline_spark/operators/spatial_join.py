@@ -50,6 +50,34 @@ def estimate_layer_bytes(layer: DataFrame) -> int:
     return int(row["b"] or 0)
 
 
+# covers memo: a layer is joined against every minutely batch, so the
+# exploded+distinct cover-cell set is built once per (layer, res) and
+# the materialized (localCheckpoint'ed) frame reused — steady-state
+# batches never re-pay the explode
+_PREFILTER_CACHE: dict[tuple[int, int], tuple[DataFrame | None, int]] = {}
+
+
+def _prefilter_covers(layer: DataFrame, prefilter_res: int, max_cells: int):
+    try:
+        key = (layer.semanticHash(), prefilter_res)
+    except Exception:
+        key = None
+    if key is not None and key in _PREFILTER_CACHE:
+        return _PREFILTER_CACHE[key]
+    res = prefilter_res
+    covers = None
+    while res >= 4:
+        c = cover_cells_df(layer, res).select("cell").distinct()
+        if c.count() <= max_cells:
+            covers = c.localCheckpoint(eager=True)
+            break
+        res -= 2
+    out = (covers, res)
+    if key is not None:
+        _PREFILTER_CACHE[key] = out
+    return out
+
+
 def collect_layer(layer: DataFrame):
     """Collect the polygon layer into broadcastable numpy structures."""
     rows = layer.select("feature_id", "geom_wkb", "cell_lo", "cell_hi").collect()
@@ -118,14 +146,7 @@ def pip_join_broadcast(
         return cell_equi_join(images, layer, res=equi_join_res, id_col=id_col,
                               passthrough=passthrough)
     if prefilter_res is not None:
-        res = prefilter_res
-        covers = None
-        while res >= 4:
-            c = cover_cells_df(layer, res).select("cell").distinct()
-            if c.count() <= max_prefilter_cells:
-                covers = c
-                break
-            res -= 2
+        covers, res = _prefilter_covers(layer, prefilter_res, max_prefilter_cells)
         if covers is not None:
             images = (
                 images.withColumn(

@@ -167,3 +167,43 @@ def test_jdbc_bulk_and_row_sinks_roundtrip(spark, tmp_path):
     assert back.count() == 51
     want = {(i, i * 7 % 13) for i in range(50)} | {(100, 1)}
     assert {(r["a"], r["b"]) for r in back.collect()} == want
+
+
+# ----------------------------------------------- F15/F16 direct unit tests
+def test_compress_member_types(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"type": "node", "ref": 10, "role": "stop"},
+                    {"type": "way", "ref": 20, "role": "outer"},
+                    {"type": "relation", "ref": 30, "role": ""},
+                ],
+            )
+        ],
+        "id long, members array<struct<type string, ref long, role string>>",
+    )
+    out = df.select(
+        osm_tags.compress_member_types(F.col("members")).alias("m")
+    ).first()["m"]
+    assert [(m["type"], m["ref"], m["role"]) for m in out] == [
+        (1, 10, "stop"),
+        (2, 20, "outer"),
+        (3, 30, ""),
+    ]
+
+
+def test_merge_tags_right_biased(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "1", "b": "2"}, {"b": "9", "c": "3"})],
+        "id long, l map<string,string>, r map<string,string>",
+    )
+    out = df.select(osm_tags.merge_tags(F.col("l"), F.col("r")).alias("m")).first()["m"]
+    # scala `left ++ right` semantics: right wins on collision
+    assert dict(out) == {"a": "1", "b": "9", "c": "3"}
+    # empty sides
+    df2 = spark.createDataFrame(
+        [(1, {}, {"x": "1"})], "id long, l map<string,string>, r map<string,string>"
+    )
+    assert dict(df2.select(osm_tags.merge_tags(F.col("l"), F.col("r")).alias("m")).first()["m"]) == {"x": "1"}
