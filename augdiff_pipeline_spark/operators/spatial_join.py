@@ -202,11 +202,32 @@ def pip_join_broadcast(
     )
 
 
+_COVERS_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
 def cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
     """Explode cover intervals into fixed-res cells: one row per
     (cell@res, feature_id, full) — the equi-join build side.  ``full``
     marks cells entirely inside the feature (no refine needed); a cell
-    both full and boundary for the same feature keeps full=false."""
+    both full and boundary for the same feature keeps full=false.
+
+    Memoized per (layer, res) and materialized: the layer side is
+    joined against every minutely batch, so steady state never re-pays
+    the explode+group (same rationale as the prefilter memo)."""
+    try:
+        key = (layer.semanticHash(), res)
+    except Exception:
+        key = None
+    if key is not None and key in _COVERS_CACHE:
+        return _COVERS_CACHE[key]
+    out = _cover_cells_df(layer, res)
+    if key is not None:
+        out = out.localCheckpoint(eager=True)
+        _COVERS_CACHE[key] = out
+    return out
+
+
+def _cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
 
     def kernel(it):
         shift = 2 * (cells.MAX_RES - res)
