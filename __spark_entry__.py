@@ -468,6 +468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q28_rank_ntile"] = q28
 
+    def q29(spark, sf):  # embedding-cosine near-dup pairs (exact, block matmul)
+        from augdiff_pipeline_spark.operators.similarity import cosine_pairs
+
+        return cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+    q["q29_cosine_near_dup"] = q29
+
     def q23(spark, sf):  # multimodal plumbing: decode → features (rows-only)
         import numpy as np
         import pandas as pd
@@ -753,6 +760,18 @@ def oracle_sql() -> dict[str, str]:
                cast(ntile(4) OVER w AS int) AS quartile
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    """
+
+    # threshold applies to the ROUNDED cosine in both engines so the
+    # boundary is engine-agnostic (matmul vs list_cosine_similarity
+    # differ in summation order by last-ulp only)
+    o["q29_cosine_near_dup"] = """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(cast(a.embedding AS double[]),
+                                            cast(b.embedding AS double[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(cast(a.embedding AS double[]),
+                                           cast(b.embedding AS double[])), 6) >= 0.45
     """
 
     # q22 (hyperplane LSH ANN) / q23 (image codec features): genuinely

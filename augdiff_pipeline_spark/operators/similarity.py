@@ -162,3 +162,119 @@ def lsh_topk(
     scored = paired.mapInPandas(refine, "query_id long, vec_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------- embedding-cosine dedup
+def _collect_normalized(embeddings: DataFrame, id_col: str, vec_col: str):
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    order = np.argsort(ids)
+    return ids[order], (m / norms[:, None])[order]
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """(a, b, cos_sim) exact embedding-cosine near-duplicate pairs,
+    a < b, cos_sim rounded to 6dp with the threshold applied to the
+    ROUNDED value (engine-agnostic boundary).
+
+    Physical shape: the normalized matrix is broadcast once; each Arrow
+    batch computes its block row of the similarity matrix with ONE BLAS
+    matmul against the broadcast side and emits only qualifying pairs —
+    a block-distributed exact O(n^2/B) baseline with zero shuffles.
+    Above ``max_broadcast_rows`` use ``cosine_pairs_lsh`` (candidates
+    via hyperplane bands; the all-pairs matmul stops being the right
+    tool before the broadcast stops fitting).
+    """
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n} rows exceed the exact-broadcast budget ({max_broadcast_rows}); "
+            "use cosine_pairs_lsh for the approximate scale path"
+        )
+    ids, mn = _collect_normalized(embeddings, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mn))
+
+    def kernel(it):
+        all_ids, all_m = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                    "b": pd.Series([], dtype="int64"),
+                                    "cos_sim": pd.Series([], dtype="float64")})
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn_b = m / norms[:, None]
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.round(mn_b @ all_m.T, ROUND_DP)  # (batch, n)
+            # keep i<j once: this block's row id must be the smaller one
+            keep = (block >= threshold) & (row_ids[:, None] < all_ids[None, :])
+            bi, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a": row_ids[bi], "b": all_ids[bj], "cos_sim": block[bi, bj]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "a long, b long, cos_sim double"
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bits: int = 128,
+    bands: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs at scale: hyperplane-band candidates
+    (signature self-join — vectors never shuffle), exact cosine verify
+    on candidates only.  Recall < 1 by construction; tests bound it
+    against the exact operator."""
+    sigs = hyperplane_signatures(embeddings, n_bits, bands, id_col=id_col, vec_col=vec_col)
+    l, r = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    paired = (
+        cand.join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
+        .join(vecs.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
+    )
+
+    def verify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                    "b": pd.Series([], dtype="int64"),
+                                    "cos_sim": pd.Series([], dtype="float64")})
+                continue
+            va = np.array(list(pdf["va"]), dtype=np.float64)
+            vb = np.array(list(pdf["vb"]), dtype=np.float64)
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = np.round(np.einsum("ij,ij->i", va, vb) / (na * nb), ROUND_DP)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {"a": pdf["a"].to_numpy(dtype=np.int64)[keep],
+                 "b": pdf["b"].to_numpy(dtype=np.int64)[keep],
+                 "cos_sim": cos[keep]}
+            )
+
+    return paired.mapInPandas(verify, "a long, b long, cos_sim double")

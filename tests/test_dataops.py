@@ -160,3 +160,38 @@ def test_lsh_topk_recall(spark, vectors):
     want = set(zip(exact["query_id"], exact["vec_id"]))
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_cosine_pairs_exact_and_lsh(spark, vectors):
+    """Exact embedding-cosine near-dup pairs vs a numpy brute force;
+    the LSH variant's recall bounded against the exact one."""
+    from augdiff_pipeline_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    pdf = vectors.toPandas()
+    m = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sim = np.round(mn @ mn.T, 6)
+    thr = 0.8  # cluster mates (same base + small noise) sit well above
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sim[i, j] >= thr
+    }
+    got = {(r["a"], r["b"]): r["cos_sim"] for r in cosine_pairs(vectors, thr).collect()}
+    assert set(got) == want and len(want) > 50
+    # values match the numpy block computation bit-for-bit (same matmul)
+    idx = {int(v): k for k, v in enumerate(ids)}
+    for (a, b), c in list(got.items())[:20]:
+        assert c == sim[idx[a], idx[b]]
+    approx = {(r["a"], r["b"]) for r in cosine_pairs_lsh(vectors, thr).collect()}
+    assert approx <= set(got) or all(p in want for p in approx)  # no false positives
+    assert len(approx & want) / len(want) >= 0.8  # recall floor
+
+
+def test_cosine_pairs_guard(spark, vectors):
+    from augdiff_pipeline_spark.operators.similarity import cosine_pairs
+
+    with pytest.raises(ValueError):
+        cosine_pairs(vectors, 0.8, max_broadcast_rows=10)
