@@ -468,6 +468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q28_rank_ntile"] = q28
 
+    def q30(spark, sf):  # IVF ANN (k-means codebook + inverted-list probe)
+        from augdiff_pipeline_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(
+            _t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+            n_centroids=16, nprobe=4,
+        ).select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+    q["q30_ivf_ann"] = q30
+
     def q29(spark, sf):  # embedding-cosine near-dup pairs (exact, block matmul)
         from augdiff_pipeline_spark.operators.similarity import cosine_pairs
 
@@ -774,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
                                            cast(b.embedding AS double[])), 6) >= 0.45
     """
 
-    # q22 (hyperplane LSH ANN) / q23 (image codec features): genuinely
-    # non-SQL-expressible — rows-only checks; pytest twins bound recall.
+    # q22 (hyperplane LSH ANN) / q23 (image codec features) / q30 (IVF
+    # ANN, an iterative k-means algorithm): genuinely non-SQL-expressible
+    # — rows-only checks; pytest twins bound recall.
     return o

@@ -292,6 +292,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     if max_hamming >= 64:
         raise ValueError("max_hamming must be < 64")
     bands = max_hamming + 1
+    # token-less docs (empty/whitespace text) carry no signal: a
+    # brute-force oracle derives no simhash row for them, so they are
+    # excluded from pairing rather than all colliding at simhash=0
+    docs = docs.filter(
+        F.expr(f"size({_TOKENS.format(col=text_col)}) > 0")
+    )
     sh = simhash_column(docs, text_col, id_col)
     banded = sh.select(
         "doc_id", "simhash",

@@ -195,3 +195,28 @@ def test_cosine_pairs_guard(spark, vectors):
 
     with pytest.raises(ValueError):
         cosine_pairs(vectors, 0.8, max_broadcast_rows=10)
+
+
+def test_simhash_pairs_ignores_tokenless_docs(spark):
+    rows = [(1, "same text here"), (2, "same text here"), (3, "   "), (4, "")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = {(r["a"], r["b"]) for r in simhash_pairs(df, max_hamming=3).collect()}
+    # the two empty-ish docs must NOT pair up at simhash=0 (a brute-force
+    # oracle derives no signature for token-less docs)
+    assert pairs == {(1, 2)}
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from augdiff_pipeline_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    exact = brute_force_topk(vectors, [0, 10, 20], k=5).toPandas()
+    approx = ivf_topk(vectors, [0, 10, 20], k=5, n_centroids=10, nprobe=3, iters=2).toPandas()
+    got = set(zip(approx["query_id"], approx["vec_id"]))
+    want = set(zip(exact["query_id"], exact["vec_id"]))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
+    # codebook is deterministic and normalized
+    c1 = kmeans_centroids(vectors, 10, 2)
+    c2 = kmeans_centroids(vectors, 10, 2)
+    assert (c1 == c2).all()
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
