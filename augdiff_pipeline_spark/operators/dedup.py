@@ -12,9 +12,10 @@
   hashing + per-salt ``minimum.reduceat``) — no per-doc Python loop.
   Default band/row split (128 perms, 64 bands of 2 rows) makes the
   per-pair miss probability at Jaccard s: (1 - s^2)^64 — ≤ 1e-8 at
-  s = 0.5 — so at the verify threshold the output equals the exact
-  brute-force pair set and a DuckDB brute-force oracle checks it
-  end-to-end.
+  s = 0.5.  That bound is small but NOT zero (unlike the pigeonhole
+  argument for SimHash below, it is probabilistic): the q19 contract's
+  equality with the DuckDB brute-force oracle is dataset-verified at
+  the fixture scale, not structurally guaranteed.
 - simhash_column / simhash_pairs: 64-bit SimHash computed ENTIRELY in
   native Spark SQL (whole-stage codegen, zero Python): token hash is the
   low 64 bits of md5 (reproducible in any engine), bit-vote via
@@ -174,23 +175,183 @@ def minhash_bands(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     )
 
 
+def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
+                  max_bucket: int | None = None) -> DataFrame:
+    """All unordered id pairs (a < b) of rows sharing ``key_cols`` via
+    groupBy + vectorized in-kernel pair emission.
+
+    One shuffle (the groupBy), then each bucket's m(m-1)/2 pairs are
+    emitted by numpy triu indexing — microseconds even for a
+    100k-pair bucket, where an equi-self-join pays row-at-a-time join
+    machinery for the same output AND serializes the whole bucket's
+    quadratic output in one task (AQE skew-join never fires: it detects
+    shuffle-INPUT bytes, and a 1000-row bucket is ~24 KB in while the
+    blowup is in the OUTPUT).
+
+    ``max_bucket`` is the production knob: buckets with more rows are
+    DROPPED (their members pair via their other, rarer bands — the
+    standard "too common to be a useful signature" cap in large-scale
+    dedup).  None = exact (no cap); the exactness contracts run uncapped
+    at fixture scale.  For buckets too large even to collect_list
+    (>~10^6 ids), see ``_self_join_pairs``.
+    """
+    agg = rows.groupBy(*key_cols).agg(F.collect_list(id_col).alias("_ids"))
+    if max_bucket is not None:
+        agg = agg.filter(F.size("_ids") <= max_bucket)
+    agg = agg.filter(F.size("_ids") > 1).select("_ids")
+
+    def emit(it):
+        for pdf in it:
+            outs = []
+            for ids in pdf["_ids"]:
+                arr = np.asarray(ids, dtype=np.int64)
+                iu, ju = np.triu_indices(len(arr), 1)
+                a, b = arr[iu], arr[ju]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                outs.append((lo, hi))
+            if not outs:
+                yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                    "b": pd.Series([], dtype="int64")})
+                continue
+            yield pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
+                                "b": np.concatenate([o[1] for o in outs])})
+
+    return agg.mapInPandas(emit, "a long, b long").distinct()
+
+
+def _self_join_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
+                     hot_threshold: int = 256, n_chunks: int = 8) -> DataFrame:
+    """All unordered id pairs (a < b) of rows sharing ``key_cols``, with
+    EXPLICIT quadratic-skew handling — the strategy for buckets too
+    large for ``_bucket_pairs``'s collect_list (a 10^7-row bucket's id
+    list would be an ~80 MB aggregation value in one task).
+
+    Buckets above ``hot_threshold`` are triangle-salted: rows get a
+    chunk id u = xxhash64(id) % n_chunks, the left side duplicates to
+    cells (u, v) for v >= u, the right side to (u, v) for u <= v, and the
+    join key gains (u, v) — one hot bucket spreads over
+    n_chunks(n_chunks+1)/2 tasks at ~n_chunks x row duplication.
+    Cold buckets take the plain self-join.  Output is identical to the
+    unsalted join (the pair set is a disjoint union over cells).
+    """
+    sizes = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    hot_keys = sizes.filter(F.col("_bsz") > hot_threshold)
+    tagged = rows.join(F.broadcast(hot_keys), list(key_cols), "left")
+    cold = tagged.filter(F.col("_bsz").isNull()).drop("_bsz")
+    hot = (
+        tagged.filter(F.col("_bsz").isNotNull())
+        .drop("_bsz")
+        .withColumn("_u", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int"))
+    )
+    lc, rc = cold.alias("l"), cold.alias("r")
+    cold_pairs = (
+        lc.join(rc, F.expr(" AND ".join(f"l.{c} = r.{c}" for c in key_cols)))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+    )
+    hl = hot.withColumn("_v", F.explode(F.sequence(F.col("_u"), F.lit(n_chunks - 1)))).alias("l")
+    hr = hot.withColumn("_v", F.col("_u")).withColumn(
+        "_u", F.explode(F.sequence(F.lit(0), F.col("_v")))
+    ).alias("r")
+    # least/greatest (not l < r): in a cross-chunk cell (u, v) an
+    # unordered pair appears exactly once, with no control over which
+    # element landed on the left — canonicalize instead of filtering
+    hot_pairs = (
+        hl.join(
+            hr,
+            F.expr(" AND ".join(f"l.{c} = r.{c}" for c in list(key_cols) + ["_u", "_v"])),
+        )
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
+# Above this many estimated shingle-hash bytes (8 x total text chars)
+# the verify stage does NOT broadcast the corpus shingle dictionary —
+# it falls back to joining candidate pairs back onto the text column
+# and re-shingling per Arrow batch (fully distributed, no driver state).
+DEFAULT_MAX_SHINGLE_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def _csr_intersections(hv, offs, cnts, ia, ib):
+    """Per-pair |Sa ∩ Sb| over CSR shingle segments (segments sorted
+    unique).  intersect1d(assume_unique) on the two short sorted runs
+    beats any global sort: measured ~13µs/pair at ~200 shingles/doc."""
+    inter = np.empty(len(ia), dtype=np.int64)
+    for p in range(len(ia)):
+        a, b = ia[p], ib[p]
+        inter[p] = len(
+            np.intersect1d(
+                hv[offs[a]: offs[a] + cnts[a]],
+                hv[offs[b]: offs[b] + cnts[b]],
+                assume_unique=True,
+            )
+        )
+    return inter
+
+
+def _verify_schema():
+    return pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
                       jaccard_threshold: float = 0.6,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_shingle_broadcast_bytes: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs, a < b.
 
     ``jaccard`` is the EXACT shingle-set Jaccard (the LSH only proposes
     candidates); emitted as a raw IEEE division of two integers so any
     engine recomputing it from the same shingle sets matches bit-for-bit.
+
+    Verify strategy (auto): if the corpus' estimated shingle bytes fit
+    ``max_shingle_broadcast_bytes``, the shingle dictionary (CSR arrays)
+    is built once and broadcast — candidate pairs then verify with NO
+    text join and no per-batch re-shingle.  Above the budget the verify
+    joins pairs back onto the text column and shingles each batch's
+    distinct docs (fully distributed; text bytes shuffle once per
+    candidate, the price of not holding corpus state anywhere).
     """
-    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
-    l, r = sigs.alias("l"), sigs.alias("r")
-    cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.band_hash") == F.col("r.band_hash")))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+    spark = docs.sparkSession
+    # materialize signatures ONCE: a self-join on a mapInPandas output
+    # otherwise re-runs the Python signature kernel for BOTH sides
+    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col).localCheckpoint()
+    cand = _self_join_pairs(sigs, ["band", "band_hash"], "doc_id")
+    est = docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()
+    if int(est["b"] or 0) <= max_shingle_broadcast_bytes:
+        rows = docs.select(F.col(id_col), F.col(text_col)).collect()
+        doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        hv, offs, cnts = _batch_shingle_hashes([str(rows[i][1]) for i in order])
+        bc = spark.sparkContext.broadcast((doc_ids, hv, offs, cnts))
+
+        def verify_bc(it):
+            ids_s, hv_b, offs_b, cnts_b = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield _verify_schema()
+                    continue
+                aa = pdf["a"].to_numpy(dtype=np.int64)
+                bb = pdf["b"].to_numpy(dtype=np.int64)
+                ia = np.searchsorted(ids_s, aa)
+                ib = np.searchsorted(ids_s, bb)
+                inter = _csr_intersections(hv_b, offs_b, cnts_b, ia, ib)
+                union = cnts_b[ia] + cnts_b[ib] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                keep = jac >= jaccard_threshold
+                yield pd.DataFrame({"a": aa[keep], "b": bb[keep], "jaccard": jac[keep]})
+
+        return cand.mapInPandas(verify_bc, "a long, b long, jaccard double")
+
     texts = docs.select(F.col(id_col), F.col(text_col))
     paired = (
         cand.join(texts.withColumnRenamed(id_col, "a").withColumnRenamed(text_col, "ta"), "a")
@@ -198,29 +359,26 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     )
 
     def verify(it):
+        # distributed verify: shingle each DISTINCT doc in the batch
+        # exactly once (CSR layout), then per-pair sorted intersections
         for pdf in it:
-            out_a, out_b, out_j = [], [], []
-            cache: dict[int, np.ndarray] = {}
-
-            def sh(doc, txt):
-                s = cache.get(doc)
-                if s is None:
-                    s = cache[doc] = _shingle_hashes(str(txt))
-                return s
-
-            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["ta"], pdf["tb"]):
-                sa, sb = sh(int(a), ta), sh(int(b), tb)
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                j = inter / union if union else 0.0
-                if j >= jaccard_threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(j)
-            yield pd.DataFrame(
-                {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-                 "jaccard": pd.Series(out_j, dtype="float64")}
-            )
+            n = len(pdf)
+            if n == 0:
+                yield _verify_schema()
+                continue
+            aa = pdf["a"].to_numpy(dtype=np.int64)
+            bb = pdf["b"].to_numpy(dtype=np.int64)
+            ids = np.concatenate([aa, bb])
+            uniq, first = np.unique(ids, return_index=True)
+            texts_cat = pd.concat([pdf["ta"], pdf["tb"]], ignore_index=True)
+            hv, offs, cnts = _batch_shingle_hashes(list(texts_cat.iloc[first]))
+            ia = np.searchsorted(uniq, aa)
+            ib = np.searchsorted(uniq, bb)
+            inter = _csr_intersections(hv, offs, cnts, ia, ib)
+            union = cnts[ia] + cnts[ib] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jac >= jaccard_threshold
+            yield pd.DataFrame({"a": aa[keep], "b": bb[keep], "jaccard": jac[keep]})
 
     return paired.mapInPandas(verify, "a long, b long, jaccard double")
 
@@ -298,7 +456,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     docs = docs.filter(
         F.expr(f"size({_TOKENS.format(col=text_col)}) > 0")
     )
-    sh = simhash_column(docs, text_col, id_col)
+    # materialize once: the 64-vote token aggregate would otherwise be
+    # recomputed for the banding AND both sides of the verify join
+    sh = simhash_column(docs, text_col, id_col).localCheckpoint()
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(
@@ -312,15 +472,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # skew-salted candidate pairs (quadratic-bucket handling shared with
+    # MinHash), then one broadcast join back to the simhash values for
+    # the exact bit_count verify.  NOTE the quadratic-at-scale trade-off
+    # of wide max_hamming: bands = max_hamming + 1, so hamming 6 means 7
+    # bands of ~9 bits — only ~512 distinct keys per band, and candidate
+    # volume grows ~n²/512.  The contract query runs that config for
+    # oracle exactness at fixture scale; at corpus scale keep
+    # max_hamming <= 3 (16-bit bands, ~65k keys/band) or split-and-
+    # recurse (multi-index) — the salted join spreads, but cannot shrink,
+    # a quadratic candidate set.
+    cand = _self_join_pairs(banded, ["band", "key"], "doc_id")
+    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sha"))
+    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_shb"))
     return (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
         .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+            "a", "b",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
