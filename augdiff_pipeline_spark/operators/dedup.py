@@ -176,7 +176,8 @@ def minhash_bands(docs: DataFrame, num_perm: int = 128, bands: int = 64,
 
 
 def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None, payload_col: str | None = None,
+                  dedupe: bool = True) -> DataFrame:
     """All unordered id pairs (a < b) of rows sharing ``key_cols`` via
     groupBy + vectorized in-kernel pair emission.
 
@@ -193,31 +194,49 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
     standard "too common to be a useful signature" cap in large-scale
     dedup).  None = exact (no cap); the exactness contracts run uncapped
     at fixture scale.  For buckets too large even to collect_list
-    (>~10^6 ids), see ``_self_join_pairs``.
+    (>~10^6 ids = ~8 MB single aggregation value), see
+    ``_self_join_pairs`` — but note any such bucket implies >=10^11
+    output pairs, so at that size the real production answer is a
+    ``max_bucket`` cap, not a bigger join.
+
+    ``payload_col`` (an int64 column) rides along: the output gains
+    (pa, pb) carrying each side's payload — this lets a caller verify
+    pairs (e.g. simhash XOR) with ZERO joins back to the source.
+    ``dedupe=False`` skips the output distinct for callers that
+    deduplicate after their own (cheaper) verify stage.
     """
-    agg = rows.groupBy(*key_cols).agg(F.collect_list(id_col).alias("_ids"))
+    cols = [id_col] + ([payload_col] if payload_col else [])
+    agg = rows.groupBy(*key_cols).agg(*[F.collect_list(c).alias(f"_{c}") for c in cols])
     if max_bucket is not None:
-        agg = agg.filter(F.size("_ids") <= max_bucket)
-    agg = agg.filter(F.size("_ids") > 1).select("_ids")
+        agg = agg.filter(F.size(f"_{id_col}") <= max_bucket)
+    agg = agg.filter(F.size(f"_{id_col}") > 1).select(*[f"_{c}" for c in cols])
 
     def emit(it):
         for pdf in it:
             outs = []
-            for ids in pdf["_ids"]:
-                arr = np.asarray(ids, dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                arr = np.asarray(row[0], dtype=np.int64)
                 iu, ju = np.triu_indices(len(arr), 1)
                 a, b = arr[iu], arr[ju]
-                lo = np.minimum(a, b)
-                hi = np.maximum(a, b)
-                outs.append((lo, hi))
+                flip = a > b
+                lo, hi = np.where(flip, b, a), np.where(flip, a, b)
+                if payload_col:
+                    p = np.asarray(row[1], dtype=np.int64)
+                    pa, pb = p[iu], p[ju]
+                    outs.append((lo, hi, np.where(flip, pb, pa), np.where(flip, pa, pb)))
+                else:
+                    outs.append((lo, hi))
+            width = 4 if payload_col else 2
+            names = ["a", "b", "pa", "pb"][:width]
             if not outs:
-                yield pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                    "b": pd.Series([], dtype="int64")})
+                yield pd.DataFrame({c: pd.Series([], dtype="int64") for c in names})
                 continue
-            yield pd.DataFrame({"a": np.concatenate([o[0] for o in outs]),
-                                "b": np.concatenate([o[1] for o in outs])})
+            yield pd.DataFrame({c: np.concatenate([o[i] for o in outs])
+                                for i, c in enumerate(names)})
 
-    return agg.mapInPandas(emit, "a long, b long").distinct()
+    schema = "a long, b long" + (", pa long, pb long" if payload_col else "")
+    out = agg.mapInPandas(emit, schema)
+    return out.distinct() if dedupe else out
 
 
 def _self_join_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
@@ -305,7 +324,8 @@ def _verify_schema():
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
                       jaccard_threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_shingle_broadcast_bytes: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES) -> DataFrame:
+                      max_shingle_broadcast_bytes: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES,
+                      max_bucket: int | None = None) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs, a < b.
 
     ``jaccard`` is the EXACT shingle-set Jaccard (the LSH only proposes
@@ -321,12 +341,24 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     candidate, the price of not holding corpus state anywhere).
     """
     spark = docs.sparkSession
-    # materialize signatures ONCE: a self-join on a mapInPandas output
-    # otherwise re-runs the Python signature kernel for BOTH sides
-    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col).localCheckpoint()
-    cand = _self_join_pairs(sigs, ["band", "band_hash"], "doc_id")
-    est = docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()
-    if int(est["b"] or 0) <= max_shingle_broadcast_bytes:
+    # candidate pairs via ONE shuffle of the signature rows (groupBy +
+    # in-kernel pair emission) — the signature kernel runs exactly once,
+    # no self-join, no materialization barrier.  max_bucket caps
+    # pathological buckets at corpus scale (None = exact).
+    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
+    cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id", max_bucket=max_bucket)
+    # route on Catalyst's plan-size estimate (free — no extra scan job);
+    # shingle hashes are ~8 bytes per char, so ~8x the raw text bytes.
+    # Routing is a pure performance choice — both verify paths produce
+    # identical output — so an estimation error is never a correctness
+    # bug, and overestimation just takes the always-safe distributed
+    # path.  Falls back to an exact sum(length) job if plan stats are
+    # unavailable.
+    try:
+        est = 8 * int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = int(docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()["b"] or 0)
+    if est <= max_shingle_broadcast_bytes:
         rows = docs.select(F.col(id_col), F.col(text_col)).collect()
         doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
         order = np.argsort(doc_ids, kind="stable")
@@ -386,8 +418,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
 # --------------------------------------------------------------------- simhash
 # Native-SQL SimHash: token hash = low 64 bits of md5(token), bit b of
 # the simhash is 1 iff sum over tokens of (bit b set ? +1 : -1) > 0.
-# All higher-order functions — whole-stage codegen, no shuffle, no
-# Python; bit assembly uses bitwise-or (ANSI-safe, no overflow).
+# Computed as explode(tokens) -> 64 conditional SUMs -> bit fold: every
+# stage is whole-stage-codegen (plain comparisons and sums), and the
+# groupBy's map-side partial aggregation means the shuffle carries only
+# 64 ints per doc.  (An earlier formulation used aggregate/zip_with
+# higher-order functions — zero-shuffle but INTERPRETED per element:
+# ~64 lambda evaluations per token made it ~20x slower than this
+# explode+codegen shape.  HOFs are not codegen'd in Spark 4.)
 _TOKENS = "filter(split(lower({col}), '\\\\s+'), t -> t != '')"
 _TOK_HASH = (
     "shiftleft(cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint), 32) | "
@@ -405,7 +442,13 @@ _FOLD_BITS = (
 
 
 def simhash_expr(text_col: str) -> F.Column:
-    """64-bit SimHash of a text column as a single native expression."""
+    """64-bit SimHash of a text column as a single native expression.
+
+    Row-at-a-time (higher-order-function) form — useful where a
+    per-row expression is required (e.g. inside another select with
+    no shuffle allowed); for whole-table computation prefer
+    ``simhash_column``, which is ~20x faster via explode+codegen.
+    """
     votes = _BIT_VOTES.format(
         tokens=_TOKENS.format(col=text_col), tok_hash=_TOK_HASH
     )
@@ -415,14 +458,29 @@ def simhash_expr(text_col: str) -> F.Column:
 def simhash_column(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over whitespace tokens.
 
-    Two-step select so the 64-vote array materializes once per row
-    instead of once per output bit.
+    explode_outer keeps token-less docs (null token -> every vote falls
+    to the -1 branch exactly once -> all bits 0 -> simhash 0, matching
+    the empty-aggregate semantics of ``simhash_expr``).
     """
-    votes = _BIT_VOTES.format(tokens=_TOKENS.format(col=text_col), tok_hash=_TOK_HASH)
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.expr(votes).alias("_votes"))
-        .select("doc_id", F.expr(_FOLD_BITS.format(votes="_votes")).alias("simhash"))
-    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.expr(_TOKENS.format(col=text_col))).alias("t"),
+    ).select("doc_id", F.expr(_TOK_HASH).alias("_hv"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("_hv", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    fold = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fold = term if fold is None else fold.bitwiseOR(term)
+    return toks.groupBy("doc_id").agg(*votes).select("doc_id", fold.alias("simhash"))
 
 
 def _band_splits(bits: int, bands: int) -> list[tuple[int, int]]:
@@ -456,9 +514,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     docs = docs.filter(
         F.expr(f"size({_TOKENS.format(col=text_col)}) > 0")
     )
-    # materialize once: the 64-vote token aggregate would otherwise be
-    # recomputed for the banding AND both sides of the verify join
-    sh = simhash_column(docs, text_col, id_col).localCheckpoint()
+    sh = simhash_column(docs, text_col, id_col)
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(
@@ -472,25 +528,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # skew-salted candidate pairs (quadratic-bucket handling shared with
-    # MinHash), then one broadcast join back to the simhash values for
-    # the exact bit_count verify.  NOTE the quadratic-at-scale trade-off
-    # of wide max_hamming: bands = max_hamming + 1, so hamming 6 means 7
-    # bands of ~9 bits — only ~512 distinct keys per band, and candidate
-    # volume grows ~n²/512.  The contract query runs that config for
-    # oracle exactness at fixture scale; at corpus scale keep
-    # max_hamming <= 3 (16-bit bands, ~65k keys/band) or split-and-
-    # recurse (multi-index) — the salted join spreads, but cannot shrink,
-    # a quadratic candidate set.
-    cand = _self_join_pairs(banded, ["band", "key"], "doc_id")
-    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sha"))
-    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_shb"))
+    # one-shuffle candidate pairs: _bucket_pairs carries each side's
+    # simhash as payload, so the bit_count verify needs ZERO joins back
+    # to the source and the simhash aggregate runs exactly once.
+    # Dedupe AFTER the (trivial) XOR verify — the distinct then
+    # shuffles only qualifying pairs.  NOTE the quadratic-at-scale
+    # trade-off of wide max_hamming: bands = max_hamming + 1, so
+    # hamming 6 means 7 bands of ~9 bits — only ~512 distinct keys per
+    # band, and candidate volume grows ~n²/512.  The contract query
+    # runs that config for oracle exactness at fixture scale; at
+    # corpus scale keep max_hamming <= 3 (16-bit bands, ~65k
+    # keys/band) or split-and-recurse (multi-index) — no join strategy
+    # can shrink a quadratic candidate set.
+    cand = _bucket_pairs(banded, ["band", "key"], "doc_id",
+                         payload_col="simhash", dedupe=False)
     return (
-        cand.join(sh_a, "a")
-        .join(sh_b, "b")
-        .select(
+        cand.select(
             "a", "b",
-            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
