@@ -127,10 +127,15 @@ def ixy_col(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
     return ix, iy
 
 
+def interleave_col(ix: Column, iy: Column) -> Column:
+    """Morton-interleave two nonnegative grid indices (codegen'd)."""
+    return _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1))
+
+
 def morton_col(lon: Column, lat: Column, res: int = MAX_RES) -> Column:
     """Morton code at ``res`` as a pure Column expression (codegen'd)."""
     ix, iy = ixy_col(lon, lat, res)
-    return _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1))
+    return interleave_col(ix, iy)
 
 
 def morton_at_max_res_col(lon: Column, lat: Column) -> Column:

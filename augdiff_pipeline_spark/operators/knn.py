@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from ..functions import cells
 
 
+# Above this many estimated feature-side bytes the feature table is NOT
+# collected/broadcast — knn_join routes to the cell-bucketed shuffle
+# strategy instead (same guard philosophy as spatial_join).
+DEFAULT_MAX_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def estimate_feature_bytes(features: DataFrame) -> int:
+    """Catalyst plan-size estimate (free, no job); falls back to a
+    count-based estimate (24 B/row: id + lon + lat) if unavailable."""
+    try:
+        return int(features._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return int(features.count()) * 24
+
+
 def collect_feature_points(features: DataFrame, res: int):
     """features: DataFrame[feature_id, lon, lat] → cell-sorted arrays."""
     rows = features.select("feature_id", "lon", "lat").collect()
@@ -57,6 +72,7 @@ def knn_join(
     res: int = 10,
     id_col: str = "image_id",
     max_rings: int = 64,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """(image_id, feature_id, knn_rank, dist_sq_deg) — exact kNN.
 
@@ -64,8 +80,14 @@ def knn_join(
     r' > r is at least (r'-1) * cell_size away (Chebyshev ⇒ planar);
     expansion stops once k candidates exist AND the k-th best squared
     distance ≤ ((r) * cell_size)^2, i.e. no farther ring can improve.
+
+    Guard: a feature table above ``max_broadcast_bytes`` is never
+    collected to the driver — the join routes to ``knn_join_shuffle``
+    (cell-bucketed doubling-disk strategy, identical output).
     """
     spark = images.sparkSession
+    if estimate_feature_bytes(features) > max_broadcast_bytes:
+        return knn_join_shuffle(images, features, k=k, res=res, id_col=id_col)
     fc, ff, flon, flat = collect_feature_points(features, res)
     bc = spark.sparkContext.broadcast((fc, ff, flon, flat))
     id_type = images.schema[id_col].dataType.simpleString()
@@ -162,4 +184,160 @@ def knn_join(
 
     return images.select(F.col(id_col).alias("image_id"), "lon", "lat").mapInPandas(
         kernel, f"image_id {id_type}, feature_id long, knn_rank int, dist_sq_deg double"
+    )
+
+
+def _score_topk(cand: DataFrame, k: int, safe_sq: float | None):
+    """Rank candidates per image by (dist, feature_id); return
+    (topk_rows, proven_image_ids).  ``proven`` means the image has >= k
+    candidates and its k-th best distance is within the round's safe
+    radius (no unseen feature can beat it); safe_sq=None marks the
+    exhaustive round (everything proven)."""
+    from pyspark.sql import Window
+
+    dist = (
+        (F.col("flon") - F.col("lon")) * (F.col("flon") - F.col("lon"))
+        + (F.col("flat") - F.col("lat")) * (F.col("flat") - F.col("lat"))
+    )
+    scored = cand.withColumn("dist_sq_deg", dist)
+    w = Window.partitionBy("image_id").orderBy("dist_sq_deg", "feature_id")
+    wu = Window.partitionBy("image_id")
+    ranked = (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wu))
+        .withColumn(
+            "_kth",
+            F.max(F.when(F.col("knn_rank") <= k, F.col("dist_sq_deg"))).over(wu),
+        )
+    )
+    if safe_sq is None:
+        proven = ranked.select("image_id").distinct()
+    else:
+        proven = (
+            ranked.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe_sq)))
+            .select("image_id")
+            .distinct()
+        )
+    topk = (
+        ranked.filter(F.col("knn_rank") <= k)
+        .join(proven, "image_id", "left_semi")
+        .select("image_id", "feature_id",
+                F.col("knn_rank").cast("int").alias("knn_rank"), "dist_sq_deg")
+    )
+    return topk, proven
+
+
+def knn_join_shuffle(
+    images: DataFrame,
+    features: DataFrame,
+    k: int = 3,
+    res: int = 10,
+    id_col: str = "image_id",
+    rounds: tuple[int, ...] = (1, 3, 7, 15),
+) -> DataFrame:
+    """Exact kNN with NO driver-side feature state — the 100-TB-path
+    twin of ``knn_join`` (identical output, plan-tested).
+
+    Doubling-disk rounds, all native DataFrame ops:
+
+    - Round 0 (disk radius 1): FEATURES register into their 3x3
+      neighbor cells (feature-side explode x9) and equi-join every
+      image's cell — one shuffle keyed by cell, AQE-salted for hot
+      cells.  Per image, a window ranks candidates by (dist,
+      feature_id); an image is DONE (proven exact, same bound as the
+      broadcast kernel) when it has >= k candidates and its k-th
+      distance <= (r * cell_min)^2.
+    - Later rounds r in {3, 7, 15}: only the unproven remainder (tiny
+      in practice) explodes image-side into its (2r+1)^2 disk cells
+      and equi-joins the bucketed features.
+    - Exhaustive tail: anything still unproven (sparse layouts /
+      fewer than k features) cross-joins the full feature table —
+      exactness is never traded for the bound, matching the broadcast
+      kernel's full-scan fallback.
+
+    Rankings use the same squared-planar-degree distance and
+    (dist, feature_id) tie-break as every other engine twin.
+    """
+    n_side = 1 << res
+    cell_min = min(360.0 / n_side, 180.0 / n_side)
+    id_type = images.schema[id_col].dataType.simpleString()
+
+    feats = features.select(
+        F.col("feature_id"),
+        F.col("lon").alias("flon"),
+        F.col("lat").alias("flat"),
+    )
+    fix, fiy = cells.ixy_col(F.col("flon"), F.col("flat"), res)
+    feats = feats.withColumn("_fix", fix).withColumn("_fiy", fiy).withColumn(
+        "fcell", cells.interleave_col(F.col("_fix"), F.col("_fiy"))
+    )
+
+    imgs = images.select(F.col(id_col).alias("image_id"), "lon", "lat")
+    iix, iiy = cells.ixy_col(F.col("lon"), F.col("lat"), res)
+    imgs = imgs.withColumn("_ix", iix).withColumn("_iy", iiy).withColumn(
+        "cell", cells.interleave_col(F.col("_ix"), F.col("_iy"))
+    )
+
+    out_schema = ["image_id", "feature_id", "knn_rank", "dist_sq_deg"]
+    parts: list[DataFrame] = []
+
+    # round 0: feature-side 3x3 registration
+    r0 = rounds[0]
+    reg = (
+        feats.withColumn("_dx", F.explode(F.sequence(F.lit(-r0), F.lit(r0))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r0), F.lit(r0))))
+        .withColumn("_rx", F.col("_fix") + F.col("_dx"))
+        .withColumn("_ry", F.col("_fiy") + F.col("_dy"))
+        .filter(
+            (F.col("_rx") >= 0) & (F.col("_rx") < n_side)
+            & (F.col("_ry") >= 0) & (F.col("_ry") < n_side)
+        )
+        .select(
+            "feature_id", "flon", "flat",
+            cells.interleave_col(F.col("_rx"), F.col("_ry")).alias("cell"),
+        )
+    )
+    cand = imgs.join(reg, "cell")
+    topk, proven = _score_topk(cand, k, (r0 * cell_min) ** 2)
+    parts.append(topk)
+    remaining = imgs.join(proven, "image_id", "left_anti").localCheckpoint(eager=True)
+
+    feats_b = feats.select("feature_id", "flon", "flat", "fcell")
+    for r in rounds[1:]:
+        if remaining.isEmpty():
+            break
+        disk = (
+            remaining.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_rx", F.col("_ix") + F.col("_dx"))
+            .withColumn("_ry", F.col("_iy") + F.col("_dy"))
+            .filter(
+                (F.col("_rx") >= 0) & (F.col("_rx") < n_side)
+                & (F.col("_ry") >= 0) & (F.col("_ry") < n_side)
+            )
+            .select(
+                "image_id", "lon", "lat",
+                cells.interleave_col(F.col("_rx"), F.col("_ry")).alias("fcell"),
+            )
+        )
+        cand = disk.join(feats_b, "fcell")
+        topk, proven = _score_topk(cand, k, (r * cell_min) ** 2)
+        parts.append(topk)
+        remaining = remaining.join(proven, "image_id", "left_anti").localCheckpoint(eager=True)
+
+    if not remaining.isEmpty():
+        cand = remaining.select("image_id", "lon", "lat").crossJoin(
+            feats_b.select("feature_id", "flon", "flat")
+        )
+        topk, _ = _score_topk(cand, k, None)
+        parts.append(topk)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("image_id").cast(id_type).alias("image_id"),
+        "feature_id",
+        "knn_rank",
+        "dist_sq_deg",
     )

@@ -41,29 +41,69 @@ from .interval_index import IntervalIndex
 DEFAULT_MAX_BROADCAST_BYTES = 512 * 1024 * 1024
 
 
+def _layer_cache_key(layer: DataFrame, *extra):
+    """Memo key for per-layer derived state: (applicationId,
+    semanticHash, *extra).  The applicationId component means a frame
+    checkpointed under one SparkContext is never served to another
+    (localCheckpoint blocks die with their context); entries from dead
+    contexts are purged by ``_purge_dead_entries``.  Assumes the
+    layer's underlying files are immutable while the session lives —
+    the augdiff snapshot layout guarantees this (snapshots are
+    write-once dirs); call ``invalidate_layer_caches()`` after
+    overwriting a layer path in place."""
+    try:
+        return (layer.sparkSession.sparkContext.applicationId,
+                layer.semanticHash(), *extra)
+    except Exception:
+        return None
+
+
+def _purge_dead_entries(cache: dict, app_id: str) -> None:
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
+def invalidate_layer_caches() -> None:
+    """Drop all per-layer memos (covers, prefilter cells, size
+    estimates) — for callers that rewrite a layer's files in place."""
+    _PREFILTER_CACHE.clear()
+    _COVERS_CACHE.clear()
+    _LAYER_BYTES_CACHE.clear()
+
+
+_LAYER_BYTES_CACHE: dict[tuple, int] = {}
+
+
 def estimate_layer_bytes(layer: DataFrame) -> int:
     """Cheap aggregate scan (layer side only): wkb bytes + ~32B/row of
-    interval/id overhead."""
+    interval/id overhead.  Memoized per (app, layer): the layer is
+    probed on every micro-batch, the size never changes mid-session."""
+    key = _layer_cache_key(layer)
+    if key is not None and key in _LAYER_BYTES_CACHE:
+        return _LAYER_BYTES_CACHE[key]
     row = layer.select(
         (F.sum(F.length("geom_wkb")) + F.count(F.lit(1)) * 32).alias("b")
     ).first()
-    return int(row["b"] or 0)
+    out = int(row["b"] or 0)
+    if key is not None:
+        _purge_dead_entries(_LAYER_BYTES_CACHE, key[0])
+        _LAYER_BYTES_CACHE[key] = out
+    return out
 
 
 # covers memo: a layer is joined against every minutely batch, so the
 # exploded+distinct cover-cell set is built once per (layer, res) and
 # the materialized (localCheckpoint'ed) frame reused — steady-state
 # batches never re-pay the explode
-_PREFILTER_CACHE: dict[tuple[int, int], tuple[DataFrame | None, int]] = {}
+_PREFILTER_CACHE: dict[tuple, tuple[DataFrame | None, int]] = {}
 
 
 def _prefilter_covers(layer: DataFrame, prefilter_res: int, max_cells: int):
-    try:
-        key = (layer.semanticHash(), prefilter_res)
-    except Exception:
-        key = None
-    if key is not None and key in _PREFILTER_CACHE:
-        return _PREFILTER_CACHE[key]
+    key = _layer_cache_key(layer, prefilter_res)
+    if key is not None:
+        _purge_dead_entries(_PREFILTER_CACHE, key[0])
+        if key in _PREFILTER_CACHE:
+            return _PREFILTER_CACHE[key]
     res = prefilter_res
     covers = None
     while res >= 4:
@@ -144,7 +184,8 @@ def pip_join_broadcast(
     spark = images.sparkSession
     if estimate_layer_bytes(layer) > max_broadcast_bytes:
         return cell_equi_join(images, layer, res=equi_join_res, id_col=id_col,
-                              passthrough=passthrough)
+                              passthrough=passthrough,
+                              max_geom_broadcast_bytes=max_broadcast_bytes)
     if prefilter_res is not None:
         covers, res = _prefilter_covers(layer, prefilter_res, max_prefilter_cells)
         if covers is not None:
@@ -202,7 +243,7 @@ def pip_join_broadcast(
     )
 
 
-_COVERS_CACHE: dict[tuple[int, int], DataFrame] = {}
+_COVERS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
@@ -211,15 +252,14 @@ def cover_cells_df(layer: DataFrame, res: int) -> DataFrame:
     marks cells entirely inside the feature (no refine needed); a cell
     both full and boundary for the same feature keeps full=false.
 
-    Memoized per (layer, res) and materialized: the layer side is
+    Memoized per (app, layer, res) and materialized: the layer side is
     joined against every minutely batch, so steady state never re-pays
     the explode+group (same rationale as the prefilter memo)."""
-    try:
-        key = (layer.semanticHash(), res)
-    except Exception:
-        key = None
-    if key is not None and key in _COVERS_CACHE:
-        return _COVERS_CACHE[key]
+    key = _layer_cache_key(layer, res)
+    if key is not None:
+        _purge_dead_entries(_COVERS_CACHE, key[0])
+        if key in _COVERS_CACHE:
+            return _COVERS_CACHE[key]
     out = _cover_cells_df(layer, res)
     if key is not None:
         out = out.localCheckpoint(eager=True)
@@ -267,25 +307,35 @@ def cell_equi_join(
     res: int = 12,
     id_col: str = "image_id",
     passthrough: list[str] | None = None,
+    max_geom_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """(image_id, feature_id, *passthrough) via hybrid cell equi-join.
 
-    The image-side cell is a native Column expression and the cover join
-    is a broadcast hash join — both stay inside whole-stage codegen.
-    Candidates in FULL cover cells are exact hits and never leave the
-    JVM; only the thin boundary band (cells the polygon edge crosses)
-    flows through the Arrow refine kernel.  At 10^12 rows this keeps the
-    Python path proportional to (perimeter x cell size), not to the
-    polygon areas.
+    The image-side cell is a native Column expression; candidates in
+    FULL cover cells are exact hits and never leave the JVM; only the
+    thin boundary band (cells the polygon edge crosses) flows through
+    the Arrow refine kernel.  At 10^12 rows this keeps the Python path
+    proportional to (perimeter x cell size), not to the polygon areas.
+
+    Geometry transport for the refine is size-routed — this path is the
+    "layer too big to broadcast" fallback, so it must never assume the
+    layer fits anywhere:
+
+    - layer <= ``max_geom_broadcast_bytes``: only the geometries of
+      features that actually own a BOUNDARY cell are collected and
+      broadcast (full-cell hits never need a geometry), and the cover
+      table gets an explicit broadcast hint.
+    - larger: NOTHING is collected to the driver.  Boundary candidates
+      shuffle-join the (feature_id, geom_wkb) table on feature_id —
+      the sort-merge join clusters each feature's candidates, so the
+      refine kernel parses each distinct WKB once per Arrow batch.
+      The cover join is left unhinted for AQE to pick a strategy from
+      runtime sizes.
     """
     spark = images.sparkSession
     passthrough = passthrough or []
     covers = cover_cells_df(layer, res)
-    geoms = {
-        int(r["feature_id"]): bytes(r["geom_wkb"])
-        for r in layer.select("feature_id", "geom_wkb").distinct().collect()
-    }
-    bc = spark.sparkContext.broadcast(geoms)
+    broadcast_geoms = estimate_layer_bytes(layer) <= max_geom_broadcast_bytes
     id_type = images.schema[id_col].dataType.simpleString()
     pt_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
@@ -298,18 +348,57 @@ def cell_equi_join(
     img = images.select(F.col(id_col), "lon", "lat", *[c for c in passthrough if c not in ("lon", "lat")]).withColumn(
         "cell", cells.morton_col(F.col("lon"), F.col("lat"), res)
     )
-    cand = img.join(F.broadcast(covers), "cell")
+    cand = img.join(F.broadcast(covers) if broadcast_geoms else covers, "cell")
     full_hits = cand.filter(F.col("full")).select(*out_cols)
     boundary = cand.filter(~F.col("full")).select(
         F.col(id_col), "lon", "lat", "feature_id", *[c for c in passthrough if c not in ("lon", "lat")]
     )
 
-    def refine(it):
-        gd = bc.value
+    if broadcast_geoms:
+        boundary_fids = covers.filter(~F.col("full")).select("feature_id").distinct()
+        geoms = {
+            int(r["feature_id"]): bytes(r["geom_wkb"])
+            for r in layer.select("feature_id", "geom_wkb")
+            .join(F.broadcast(boundary_fids), "feature_id", "left_semi")
+            .distinct()
+            .collect()
+        }
+        bc = spark.sparkContext.broadcast(geoms)
+
+        def refine(it):
+            gd = bc.value
+            for pdf in it:
+                lon = pdf["lon"].to_numpy(dtype=np.float64)
+                lat = pdf["lat"].to_numpy(dtype=np.float64)
+                fids = pdf["feature_id"].to_numpy(dtype=np.int64)
+                pidx = np.arange(len(pdf))
+                hit_p, hit_f = _refine(pidx, fids, lon, lat, gd)
+                out = {"image_id": pdf[id_col].to_numpy()[hit_p], "feature_id": hit_f}
+                for c in passthrough:
+                    out[c] = pdf[c].to_numpy()[hit_p]
+                yield pd.DataFrame(out)
+
+        refined = boundary.mapInPandas(
+            refine, f"image_id {id_type}, feature_id long{pt_schema}"
+        )
+        return full_hits.unionByName(refined)
+
+    geom_tbl = layer.select("feature_id", "geom_wkb").distinct()
+    with_geom = boundary.join(geom_tbl, "feature_id")
+
+    def refine_shuffled(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             fids = pdf["feature_id"].to_numpy(dtype=np.int64)
+            # per-batch geometry dict: the feature_id join clusters
+            # rows by feature, so each WKB parses once per batch
+            gd: dict[int, bytes] = {}
+            for f, w in zip(fids, pdf["geom_wkb"]):
+                if int(f) not in gd:
+                    gd[int(f)] = bytes(w)
             pidx = np.arange(len(pdf))
             hit_p, hit_f = _refine(pidx, fids, lon, lat, gd)
             out = {"image_id": pdf[id_col].to_numpy()[hit_p], "feature_id": hit_f}
@@ -317,7 +406,7 @@ def cell_equi_join(
                 out[c] = pdf[c].to_numpy()[hit_p]
             yield pd.DataFrame(out)
 
-    refined = boundary.mapInPandas(
-        refine, f"image_id {id_type}, feature_id long{pt_schema}"
+    refined = with_geom.mapInPandas(
+        refine_shuffled, f"image_id {id_type}, feature_id long{pt_schema}"
     )
     return full_hits.unionByName(refined)

@@ -72,14 +72,31 @@ def test_pip_broadcast_path_has_no_shuffle(spark):
 
 def test_pip_broadcast_guard_routes_oversized_layer(spark):
     """A layer above the broadcast budget must never be collected to the
-    driver: pip_join_broadcast routes to the cell equi-join strategy and
-    the result is unchanged."""
+    driver: pip_join_broadcast routes to the cell equi-join strategy
+    (shuffle-refine variant — geometries travel executor-to-executor on
+    feature_id, never through the driver) and the result is unchanged."""
+    import pyspark.sql as pssql
+
     layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
     images = fixtures.image_df(spark, 500).select("image_id", "lon", "lat")
-    routed = pip_join_broadcast(images, layer, max_broadcast_bytes=1)
+    # estimate_layer_bytes memoizes via .first(); prime it so the
+    # collect-trap below only sees plan construction
+    from augdiff_pipeline_spark.operators import spatial_join as sj
+
+    sj.estimate_layer_bytes(layer)
+    orig_collect = pssql.DataFrame.collect
+
+    def trapped(self):
+        raise AssertionError("oversized path collected a DataFrame to the driver")
+
+    pssql.DataFrame.collect = trapped
+    try:
+        routed = pip_join_broadcast(images, layer, max_broadcast_bytes=1)
+    finally:
+        pssql.DataFrame.collect = orig_collect
     plan = plan_of(routed)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "Union" in plan  # full-cell fast path ∪ boundary refine
+    assert "geom_wkb" in plan  # geometries join candidates, not the driver
     want = {(r["image_id"], r["feature_id"]) for r in pip_join_broadcast(images, layer).collect()}
     got = {(r["image_id"], r["feature_id"]) for r in routed.collect()}
     assert got == want

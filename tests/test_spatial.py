@@ -233,3 +233,77 @@ def test_image_codec_invariants():
         imgcodec.encode(arr, "webp")
     with pytest.raises(NotImplementedError):
         imgcodec.decode(b"\x89PNG\r\n...not ours")
+
+
+def test_knn_guard_routes_oversized_features(spark, images):
+    """A feature table above the broadcast budget must never be
+    collected to the driver: knn_join routes to the cell-bucketed
+    shuffle strategy and the output is identical (rows, ranks,
+    distances)."""
+    import pyspark.sql as pssql
+    from augdiff_pipeline_spark.operators.knn import knn_join_shuffle
+
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": list(fixtures.NODE_COORDS.keys()),
+                "lon": [c[0] for c in fixtures.NODE_COORDS.values()],
+                "lat": [c[1] for c in fixtures.NODE_COORDS.values()],
+            }
+        )
+    )
+    want = (
+        knn_join(images, feats, k=3, res=10)
+        .toPandas()
+        .sort_values(["image_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    orig_collect = pssql.DataFrame.collect
+
+    def trapped(self):
+        raise AssertionError("oversized kNN path collected a DataFrame to the driver")
+
+    pssql.DataFrame.collect = trapped
+    try:
+        routed = knn_join(images, feats, k=3, res=10, max_broadcast_bytes=1)
+        got = routed.toPandas()
+    finally:
+        pssql.DataFrame.collect = orig_collect
+    got = got.sort_values(["image_id", "knn_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the explicit shuffle API produces the same thing
+    direct = (
+        knn_join_shuffle(images, feats, k=3, res=10)
+        .toPandas()
+        .sort_values(["image_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, want, check_dtype=False)
+
+
+def test_knn_shuffle_sparse_and_small_feature_table(spark):
+    """Shuffle-kNN exhaustive tail: far-away features and k > n must
+    behave exactly like the broadcast kernel's full-scan fallback."""
+    from augdiff_pipeline_spark.operators.knn import knn_join_shuffle
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p0", "p1"], "lon": [0.0, 0.1], "lat": [0.0, 0.1]})
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {"feature_id": [1, 2, 3], "lon": [120.0, -150.0, 60.0], "lat": [70.0, -80.0, -60.0]}
+        )
+    )
+    got = knn_join_shuffle(pts, feats, k=2, res=10).toPandas()
+    for pid, plon, plat in [("p0", 0.0, 0.0), ("p1", 0.1, 0.1)]:
+        d2 = {f: (lo - plon) ** 2 + (la - plat) ** 2
+              for f, lo, la in [(1, 120.0, 70.0), (2, -150.0, -80.0), (3, 60.0, -60.0)]}
+        want = sorted(d2, key=lambda f: (d2[f], f))[:2]
+        mine = got[got["image_id"] == pid].sort_values("knn_rank")["feature_id"].tolist()
+        assert mine == want, (pid, mine, want)
+    one = spark.createDataFrame(pd.DataFrame({"image_id": ["p"], "lon": [1.0], "lat": [1.0]}))
+    feats2 = spark.createDataFrame(
+        pd.DataFrame({"feature_id": [7, 8], "lon": [1.1, 1.2], "lat": [1.0, 1.0]})
+    )
+    got2 = knn_join_shuffle(one, feats2, k=5, res=10).toPandas().sort_values("knn_rank")
+    assert got2["feature_id"].tolist() == [7, 8]
