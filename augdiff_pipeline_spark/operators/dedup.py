@@ -347,6 +347,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     # pathological buckets at corpus scale (None = exact).
     sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
     cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id", max_bucket=max_bucket)
+    # the verify kernel is CPU-bound (~13µs/pair); AQE's advisory size
+    # coalesces the tiny (16 B/row) pair shuffle onto a handful of
+    # partitions, which would serialize it — spread pairs across the
+    # cluster before the kernel (the reshuffle is trivial at 16 B/row)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     # route on Catalyst's plan-size estimate (free — no extra scan job);
     # shingle hashes are ~8 bytes per char, so ~8x the raw text bytes.
     # Routing is a pure performance choice — both verify paths produce

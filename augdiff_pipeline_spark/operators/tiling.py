@@ -51,48 +51,65 @@ def cut_tiles(
                 "image_id": [], "z": [], "x": [], "y": [],
                 "tix": [], "tiy": [], "tile_bytes": [], "psnr_db": [],
             }
-            for iid, z, x, y, blob, fmt in zip(
-                pdf["image_id"], pdf["z"], pdf["x"], pdf["y"], pdf["bytes"], pdf["fmt"]
-            ):
-                arr = imgcodec.decode(bytes(blob))
-                h, w, _ = arr.shape
-                ntx = (w + tile_px - 1) // tile_px
-                nty = (h + tile_px - 1) // tile_px
-                # one vectorized pass: zero-pad, view as (nty, ntx) tile
-                # grid, PSNR computed analytically from the quantization
-                # error (re-decode of our codec is exactly quantize+offset,
-                # so no per-tile decode round trip is needed)
-                padded = np.zeros((nty * tile_px, ntx * tile_px, 3), dtype=np.uint8)
-                padded[:h, :w] = arr
-                grid = (
-                    padded.reshape(nty, tile_px, ntx, tile_px, 3)
-                    .transpose(0, 2, 1, 3, 4)
-                )  # (nty, ntx, tp, tp, 3)
-                if fmt == "png":
-                    psnrs = np.full((nty, ntx), 99.0)
-                else:
-                    dec = imgcodec.lossy_roundtrip(padded)
-                    err = dec.astype(np.float64) - padded.astype(np.float64)
-                    mse = (
-                        (err * err)
-                        .reshape(nty, tile_px, ntx, tile_px, 3)
-                        .transpose(0, 2, 1, 3, 4)
-                        .reshape(nty, ntx, -1)
-                        .mean(axis=2)
-                    )
-                    with np.errstate(divide="ignore"):
-                        psnrs = np.minimum(10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-12)), 99.0)
-                nt = nty * ntx
-                out["image_id"].append(np.repeat(iid, nt))
-                out["z"].append(np.repeat(np.int32(z), nt))
-                out["x"].append(np.repeat(np.int64(x), nt))
-                out["y"].append(np.repeat(np.int64(y), nt))
-                tys, txs = np.divmod(np.arange(nt), ntx)
-                out["tiy"].append(tys.astype(np.int32))
-                out["tix"].append(txs.astype(np.int32))
-                flat = grid.reshape(nt, tile_px, tile_px, 3)
-                out["tile_bytes"].extend(imgcodec.encode_batch(flat, fmt))
-                out["psnr_db"].append(psnrs.ravel())
+            n_img = len(pdf)
+            if n_img:
+                # decode each blob (the per-blob entropy stage — what
+                # libjpeg would be — is inherently per image), then batch
+                # ALL remaining work per (shape, fmt) group: one stacked
+                # pad/grid/PSNR/quantize pass per group instead of one
+                # Python iteration per image
+                blobs = [imgcodec.decode(bytes(b)) for b in pdf["bytes"]]
+                fmts = pdf["fmt"].to_numpy()
+                shapes = np.array([(a.shape[0], a.shape[1]) for a in blobs], dtype=np.int64)
+                ids = pdf["image_id"].to_numpy()
+                zs = pdf["z"].to_numpy(dtype=np.int32)
+                xs_ = pdf["x"].to_numpy(dtype=np.int64)
+                ys_ = pdf["y"].to_numpy(dtype=np.int64)
+                keys = {}
+                for i in range(n_img):
+                    keys.setdefault((int(shapes[i, 0]), int(shapes[i, 1]), fmts[i]), []).append(i)
+                for (h, w, fmt), idxs in keys.items():
+                    m = len(idxs)
+                    ntx = (w + tile_px - 1) // tile_px
+                    nty = (h + tile_px - 1) // tile_px
+                    nt = nty * ntx
+                    padded = np.zeros((m, nty * tile_px, ntx * tile_px, 3), dtype=np.uint8)
+                    for j, i in enumerate(idxs):
+                        padded[j, :h, :w] = blobs[i]
+                    grid = (
+                        padded.reshape(m, nty, tile_px, ntx, tile_px, 3)
+                        .transpose(0, 1, 3, 2, 4, 5)
+                    )  # (m, nty, ntx, tp, tp, 3)
+                    if fmt == "png":
+                        psnrs = np.full((m, nt), 99.0)
+                    else:
+                        # PSNR analytically from the quantization error
+                        # (the stub's lossy decode is exactly
+                        # quantize+offset — no byte round trip needed)
+                        dec = imgcodec.lossy_roundtrip(padded)
+                        err = dec.astype(np.float64) - padded.astype(np.float64)
+                        mse = (
+                            (err * err)
+                            .reshape(m, nty, tile_px, ntx, tile_px, 3)
+                            .transpose(0, 1, 3, 2, 4, 5)
+                            .reshape(m, nt, -1)
+                            .mean(axis=2)
+                        )
+                        with np.errstate(divide="ignore"):
+                            psnrs = np.minimum(
+                                10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-12)), 99.0
+                            )
+                    sel = np.asarray(idxs, dtype=np.int64)
+                    out["image_id"].append(np.repeat(ids[sel], nt))
+                    out["z"].append(np.repeat(zs[sel], nt))
+                    out["x"].append(np.repeat(xs_[sel], nt))
+                    out["y"].append(np.repeat(ys_[sel], nt))
+                    tys, txs = np.divmod(np.arange(nt), ntx)
+                    out["tiy"].append(np.tile(tys.astype(np.int32), m))
+                    out["tix"].append(np.tile(txs.astype(np.int32), m))
+                    flat = grid.reshape(m * nt, tile_px, tile_px, 3)
+                    out["tile_bytes"].extend(imgcodec.encode_batch(flat, fmt))
+                    out["psnr_db"].append(psnrs.ravel())
             if not out["image_id"]:
                 yield pd.DataFrame(
                     {k: pd.Series([], dtype=("object" if k in ("image_id", "tile_bytes") else

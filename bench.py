@@ -192,9 +192,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # min-of-2 by default: the first repetition also warms per-layer
-    # artifacts (prefilter covers memo) exactly as a long-lived job would
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # min-of-3 by default: the first repetition also warms per-layer
+    # artifacts (prefilter covers memo) exactly as a long-lived job
+    # would, and the extra repeat guards against this box's documented
+    # run-to-run noise (±50%; see BASELINE.md methodology)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     only = {
         q.strip()
         for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
