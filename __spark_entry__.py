@@ -15,8 +15,15 @@
 
 MinHash (q19) and SimHash (q20) have EXACT brute-force oracles: their
 LSH stages are parameterized to be recall-lossless at the verify
-threshold, so the output equals the brute-force pair set.  Only the
-hyperplane-ANN (q22) and image-codec (q23) ops are rows-only.
+threshold, so the output equals the brute-force pair set.  The ANN
+contracts are exact too: q22 runs the LSH at a contract config whose
+candidate stage is dataset-verified recall-1.0 (checked at sf0.001/
+0.01/0.1), and q30 runs IVF at FULL probe (nprobe = n_centroids),
+which is structurally exact — both then hash against the q18-style
+brute-force SQL; the production (pruned) configs keep their recall
+pytest twins.  q23's oracle is a pinned-golden VALUES literal
+recomputed at call time by the same pure-numpy kernels, pinning the
+whole Spark-side decode→feature plumbing.
 """
 
 from __future__ import annotations
@@ -396,7 +403,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q21_hourly_rollup"] = q21
 
     def q22(spark, sf):
-        return lsh_topk(_t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5).select(
+        # contract config bands=32 (2 bits/band): candidate stage is
+        # dataset-verified recall-1.0 at sf0.001/0.01/0.1 (like q19's
+        # dataset-verified losslessness), so the refined output equals
+        # brute force and the q18-style oracle checks it end-to-end.
+        # Production config (bands=8) trades recall for bucket volume
+        # and is bounded by the recall pytest instead.
+        return lsh_topk(
+            _t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, bands=32
+        ).select(
             "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
         )
 
@@ -471,9 +486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q30(spark, sf):  # IVF ANN (k-means codebook + inverted-list probe)
         from augdiff_pipeline_spark.operators.similarity import ivf_topk
 
+        # contract config nprobe = n_centroids (FULL probe): structurally
+        # exact — every inverted list is probed, so the codebook build,
+        # list assignment, candidate gather, and refine are all verified
+        # by the brute-force oracle.  Production pruning (nprobe < n) is
+        # bounded by the recall pytest.
         return ivf_topk(
             _t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
-            n_centroids=16, nprobe=4,
+            n_centroids=16, nprobe=16,
         ).select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
     q["q30_ivf_ann"] = q30
@@ -492,7 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from augdiff_pipeline_spark.operators import images as imgcodec
         from augdiff_pipeline_spark.operators.multimodal import image_features
 
-        ids = _t(spark, sf, "embeddings").select("vec_id").limit(200)
+        # vec_id < 200 (not limit): deterministic membership at every sf
+        ids = _t(spark, sf, "embeddings").select("vec_id").filter(F.col("vec_id") < 200)
 
         def synth(it):
             for pdf in it:
@@ -509,7 +530,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q23_image_features"] = q23
 
+    def q31(spark, sf):  # phash-hamming image near-dup pairs
+        import numpy as np
+        import pandas as pd
+
+        from augdiff_pipeline_spark.operators import images as imgcodec
+        from augdiff_pipeline_spark.operators.dedup import hamming_pairs
+        from augdiff_pipeline_spark.operators.multimodal import image_features
+
+        ids = _t(spark, sf, "embeddings").select("vec_id").filter(F.col("vec_id") < 200)
+
+        def synth(it):
+            for pdf in it:
+                out_id, out_b = [], []
+                for vid in pdf["vec_id"]:
+                    out_id.append(int(vid))
+                    out_b.append(imgcodec.encode(_q31_image(int(vid)), "png"))
+                yield pd.DataFrame({"image_id": out_id, "bytes": out_b})
+
+        imgs = ids.mapInPandas(synth, "image_id long, bytes binary")
+        feats = image_features(imgs.withColumn("image_id", F.col("image_id").cast("string"))) \
+            .select(F.col("image_id").cast("long").alias("image_id"), "phash")
+        return hamming_pairs(feats, "phash", "image_id", max_hamming=6)
+
+    q["q31_phash_image_dedup"] = q31
+
     return q
+
+
+def _q31_image(vid: int):
+    """Deterministic near-dup image family: 50 base images, 4 slightly
+    perturbed variants each — perturbations flip few phash bits, so the
+    hamming join has real structure to find."""
+    import numpy as np
+
+    base = vid % 50
+    rng = np.random.default_rng(base + 7)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    nrng = np.random.default_rng(vid + 7001)
+    noise = nrng.integers(-6, 7, arr.shape).astype(np.int16)
+    return np.clip(arr.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -784,7 +844,77 @@ def oracle_sql() -> dict[str, str]:
                                            cast(b.embedding AS double[])), 6) >= 0.45
     """
 
-    # q22 (hyperplane LSH ANN) / q23 (image codec features) / q30 (IVF
-    # ANN, an iterative k-means algorithm): genuinely non-SQL-expressible
-    # — rows-only checks; pytest twins bound recall.
+    # q22 / q30: the ANN contract configs are exact (q22: dataset-
+    # verified recall-1.0 candidate stage; q30: full-probe IVF is
+    # structurally exact), so both hash against the same brute-force
+    # top-k SQL as q18.  The production (pruned) ANN configs remain
+    # covered by recall pytests, not oracles.
+    _ann_brute = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+             d AS (SELECT q.query_id, e.vec_id,
+                          round(list_cosine_similarity(cast(e.embedding AS double[]), cast(q.qv AS double[])), 6) AS cos_sim
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.query_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM d)
+        SELECT query_id, vec_id, cos_sim, cast(rank AS int) AS rank FROM r WHERE rank <= 5
+    """
+    o["q22_lsh_ann"] = _ann_brute
+    o["q30_ivf_ann"] = _ann_brute
+
+    # q23: pinned-golden VALUES literal — the image blobs are
+    # synthesized deterministically from vec_id, so the expected
+    # (image_id, phash, luma_std) rows are recomputed HERE with the
+    # same pure-numpy kernels (no Spark, no driver tables) and pinned
+    # as literals.  This hashes the entire Spark-side decode → feature
+    # plumbing (Arrow batching, codec round trip, kernel wiring)
+    # against an independent driver-side evaluation; %.17g round-trips
+    # every IEEE double exactly.
+    o["q23_image_features"] = _q23_golden_sql()
+
+    # q31: phash pinned-goldens (same recomputation argument as q23) +
+    # brute-force hamming self-join in SQL — bit_count(xor(..)) counts
+    # the same two's-complement 64-bit pattern in both engines.
+    o["q31_phash_image_dedup"] = _q31_oracle_sql()
     return o
+
+
+def _q31_oracle_sql() -> str:
+    from augdiff_pipeline_spark.operators import images as imgcodec
+
+    rows = ", ".join(
+        f"({vid}, {imgcodec.phash64(_q31_image(vid))})" for vid in range(200)
+    )
+    return f"""
+        WITH ph AS (SELECT * FROM (VALUES {rows}) AS t(image_id, phash))
+        SELECT a.image_id AS a, b.image_id AS b,
+               cast(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+        FROM ph a JOIN ph b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+
+def _q23_golden_sql() -> str:
+    import numpy as np
+
+    from augdiff_pipeline_spark.operators import images as imgcodec
+
+    rows = []
+    for vid in range(200):
+        rng = np.random.default_rng(vid + 99)
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        # the Spark query encodes to png (lossless) and the kernel
+        # decodes — round trip is bit-exact, so features of `arr` are
+        # the expected output
+        luma = arr.astype(np.float64).mean(axis=2)
+        # string-cast the double: a bare numeric literal parses as
+        # DECIMAL in DuckDB and loses the last ulp on conversion;
+        # CAST('%.17g' AS DOUBLE) goes through correctly-rounded strtod
+        rows.append(
+            f"('img_{vid}', {imgcodec.phash64(arr)}, "
+            f"CAST('{float(luma.std()):.17g}' AS DOUBLE))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash, luma_std)"
+    )

@@ -499,54 +499,45 @@ def _band_splits(bits: int, bands: int) -> list[tuple[int, int]]:
     return out
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(a, b, hamming) near-dup pairs via lossless banded candidates +
-    native bit_count verify.
+def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs of 64-bit hashes within ``max_hamming``
+    bits — the generic banded-hamming join (SimHash text dedup, phash
+    image dedup, any 64-bit fingerprint).
 
     bands = max_hamming + 1: by pigeonhole, any pair with hamming ≤
     max_hamming has at least one band with ZERO differing bits, so the
-    band equi-join proposes every qualifying pair — the result is exactly
-    the brute-force pair set (DuckDB-oracle checkable).  All stages are
-    JVM-native; the self-join shuffles (docs × bands) short rows.
+    band equi-join proposes every qualifying pair — the result is
+    exactly the brute-force pair set (DuckDB-oracle checkable).
+
+    One shuffle total: _bucket_pairs carries each side's hash value as
+    payload, so the bit_count verify needs ZERO joins back to the
+    source; the distinct runs after the (trivial) XOR verify and only
+    shuffles qualifying pairs.  NOTE the quadratic-at-scale trade-off
+    of wide max_hamming: hamming 6 means 7 bands of ~9 bits — only
+    ~512 distinct keys per band, and candidate volume grows ~n²/512.
+    At corpus scale keep max_hamming <= 3 (16-bit bands, ~65k
+    keys/band) or split-and-recurse (multi-index) — no join strategy
+    can shrink a quadratic candidate set.
     """
     if max_hamming >= 64:
         raise ValueError("max_hamming must be < 64")
     bands = max_hamming + 1
-    # token-less docs (empty/whitespace text) carry no signal: a
-    # brute-force oracle derives no simhash row for them, so they are
-    # excluded from pairing rather than all colliding at simhash=0
-    docs = docs.filter(
-        F.expr(f"size({_TOKENS.format(col=text_col)}) > 0")
-    )
-    sh = simhash_column(docs, text_col, id_col)
-    banded = sh.select(
-        "doc_id", "simhash",
+    banded = rows.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hv"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), off)
+                    F.shiftrightunsigned(F.col(hash_col), off)
                     .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
                 )
                 for i, (off, w) in enumerate(_band_splits(64, bands))
             ])
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # one-shuffle candidate pairs: _bucket_pairs carries each side's
-    # simhash as payload, so the bit_count verify needs ZERO joins back
-    # to the source and the simhash aggregate runs exactly once.
-    # Dedupe AFTER the (trivial) XOR verify — the distinct then
-    # shuffles only qualifying pairs.  NOTE the quadratic-at-scale
-    # trade-off of wide max_hamming: bands = max_hamming + 1, so
-    # hamming 6 means 7 bands of ~9 bits — only ~512 distinct keys per
-    # band, and candidate volume grows ~n²/512.  The contract query
-    # runs that config for oracle exactness at fixture scale; at
-    # corpus scale keep max_hamming <= 3 (16-bit bands, ~65k
-    # keys/band) or split-and-recurse (multi-index) — no join strategy
-    # can shrink a quadratic candidate set.
-    cand = _bucket_pairs(banded, ["band", "key"], "doc_id",
-                         payload_col="simhash", dedupe=False)
+    ).select("_id", "_hv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = _bucket_pairs(banded, ["band", "key"], "_id",
+                         payload_col="_hv", dedupe=False)
     return (
         cand.select(
             "a", "b",
@@ -555,3 +546,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(a, b, hamming) near-dup pairs via lossless banded candidates +
+    native bit_count verify (see ``hamming_pairs`` for the machinery
+    and the max_hamming scale trade-off).
+    """
+    # token-less docs (empty/whitespace text) carry no signal: a
+    # brute-force oracle derives no simhash row for them, so they are
+    # excluded from pairing rather than all colliding at simhash=0
+    docs = docs.filter(
+        F.expr(f"size({_TOKENS.format(col=text_col)}) > 0")
+    )
+    sh = simhash_column(docs, text_col, id_col)
+    return hamming_pairs(sh, "simhash", "doc_id", max_hamming)
