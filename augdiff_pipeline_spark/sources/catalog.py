@@ -107,6 +107,61 @@ class SnapshotTable:
         self._commit(snap)
         return snap.snapshot_id
 
+    def compact(self, spark: SparkSession, transform=None, writer_conf=None,
+                schema=None) -> int | None:
+        """Rewrite the current snapshot's data dirs into ONE dir and
+        commit it as a ``compact`` snapshot (reference parity: the
+        augdiff job flushes + re-clusters its state every
+        saveInterval=5 batches, AugmentedDiff.scala:226-233).  Without
+        compaction a thousand minutely appends would leave a thousand
+        directories for every later read to list.
+
+        ``transform`` (e.g. StateTable's re-cluster) runs over the
+        union before the rewrite.  Old dirs stay on disk for time
+        travel until ``expire_snapshots`` reclaims them.  Returns the
+        new snapshot id, or None when there is nothing to compact.
+        """
+        cur = self.current()
+        if cur is None or len(cur.data_dirs) <= 1:
+            return None
+        df = self.read(spark, schema=schema)
+        if transform is not None:
+            df = transform(df)
+        d = self._write_data(df, writer_conf)
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            operation="compact",
+            data_dirs=[d],
+            committed_at_ms=int(time.time() * 1000),
+            summary={"compacted_dirs": len(cur.data_dirs)},
+        )
+        self._commit(snap)
+        return snap.snapshot_id
+
+    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+        """Drop manifest entries older than the newest ``keep_last``
+        snapshots and DELETE data dirs no kept snapshot references
+        (Iceberg expire_snapshots semantics: expired ids stop being
+        time-travel targets).  The manifest rewrite commits atomically
+        BEFORE any deletion, so a crash mid-expiry never leaves the
+        manifest pointing at missing files.  Returns deleted dirs."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        referenced = {d for s in kept for d in s.data_dirs}
+        doomed = sorted({d for s in dropped for d in s.data_dirs} - referenced)
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([s.__dict__ for s in kept], f, indent=1)
+        os.replace(tmp, self.manifest_path)
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
+        return doomed
+
     def rollback_to(self, snapshot_id: int) -> int:
         target = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
         cur = self.current()
@@ -134,10 +189,21 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError(f"empty table {self.path} needs an explicit schema")
             return spark.createDataFrame([], schema)
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*snap.data_dirs)
+
+        # one load per dir + union: each data dir may be a partitioned
+        # (partitionBy) layout with its own root, which a multi-path
+        # load rejects; per-dir loads keep directory partition pruning
+        # intact and filters push through the union into every scan
+        def load(d):
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(d)
+
+        out = load(snap.data_dirs[0])
+        for d in snap.data_dirs[1:]:
+            out = out.unionByName(load(d))
+        return out
 
     def exists(self) -> bool:
         return os.path.exists(self.manifest_path)

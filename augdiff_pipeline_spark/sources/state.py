@@ -27,29 +27,61 @@ from .catalog import SnapshotTable
 # idLimit=4096 pushdown ids; we keep an IN-list enumeration bound in the
 # same spirit (beyond it, the broadcast semi-join alone does the work).
 MAX_ENUMERATED_KEYS = 4096
+MAX_ENUMERATED_PARTITIONS = 150  # reference pfLimit (Common.scala:30)
 
 
 def clustered_writer(writer):
+    # partitionBy("p") = reference parity with OrcBackend.scala:283-288's
+    # partitioned write: file LISTING itself prunes on p, so a point
+    # lookup at 10^12 rows never opens footers outside its partitions
     return (
-        writer.option("parquet.bloom.filter.enabled#id", "true")
+        writer.partitionBy("p")
+        .option("parquet.bloom.filter.enabled#id", "true")
         .option("parquet.enable.dictionary", "true")
     )
 
 
-class StateTable:
-    """Append-only entity-version log with snapshot commits."""
+# compact every N appended batches (reference: saveInterval=5 flush +
+# re-cluster cadence, AugmentedDiff.scala:226-233) and keep this many
+# snapshots time-travelable before expiry reclaims their files
+SAVE_INTERVAL = 5
+KEEP_SNAPSHOTS = 25
 
-    def __init__(self, path: str):
+
+class StateTable:
+    """Append-only entity-version log with snapshot commits.
+
+    Steady state never accumulates directories: every ``SAVE_INTERVAL``
+    appended batches the table re-clusters into one partitioned dir
+    (``compact`` snapshot) and snapshots older than ``KEEP_SNAPSHOTS``
+    are expired — any number of batches leaves at most
+    SAVE_INTERVAL + 1 data dirs in the current snapshot and at most
+    KEEP_SNAPSHOTS + SAVE_INTERVAL manifest entries."""
+
+    def __init__(self, path: str, save_interval: int = SAVE_INTERVAL,
+                 keep_snapshots: int = KEEP_SNAPSHOTS):
         self.table = SnapshotTable(path)
+        self.save_interval = save_interval
+        self.keep_snapshots = keep_snapshots
 
     def init(self, df: DataFrame) -> int:
         return self.table.overwrite(self._cluster(df), writer_conf=clustered_writer)
 
     def append_batch(self, df: DataFrame, seq: int) -> int:
-        return self.table.append(
+        sid = self.table.append(
             self._cluster(df), operation="append", summary={"seq": seq},
             writer_conf=clustered_writer,
         )
+        cur = self.table.current()
+        if cur is not None and len(cur.data_dirs) > self.save_interval:
+            cid = self.table.compact(
+                df.sparkSession, transform=self._cluster,
+                writer_conf=clustered_writer, schema=OSM_SCHEMA,
+            )
+            if cid is not None:
+                sid = cid
+            self.table.expire_snapshots(keep_last=self.keep_snapshots)
+        return sid
 
     @staticmethod
     def _cluster(df: DataFrame) -> DataFrame:
@@ -85,6 +117,27 @@ class StateTable:
             ids = sorted({r["k"] >> 2 for r in key_rows})
             if ids:
                 state = state.filter(F.col("id").isin(ids))  # pushed to scan
+                # reference pfLimit=150 partition filters
+                # (Common.scala:30): enumerate the partitions the keys
+                # can live in so the p=... DIRECTORY listing prunes
+                # before any footer is opened
+                from ..functions.packing import partition_number_py
+                from ..schemas import CODE_TYPES
+
+                # keys with an invalid type code (low bits not 0|1|2)
+                # can never match a state row — they contribute no
+                # partition, which is correct
+                ps = sorted(
+                    {
+                        partition_number_py(r["k"] >> 2, CODE_TYPES[r["k"] & 3])
+                        for r in key_rows
+                        if (r["k"] & 3) in CODE_TYPES
+                    }
+                )
+                if not ps:
+                    return state.limit(0)
+                if len(ps) <= MAX_ENUMERATED_PARTITIONS:
+                    state = state.filter(F.col("p").isin(ps))
             else:
                 return state.limit(0)
         return state.join(

@@ -116,3 +116,43 @@ def test_tile_exprs_are_codegen(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*(n)' prefixes mark whole-stage-codegen spans in the short plan form
     assert "*(" in plan
+
+
+def test_state_compaction_bounds_dirs_and_preserves_reads(spark, tmp_path):
+    """K appended batches leave a bounded number of data dirs (compact
+    every SAVE_INTERVAL, reference saveInterval parity) and reads are
+    unchanged across compaction; expired snapshots release their dirs."""
+    import os
+
+    from augdiff_pipeline_spark.sources.state import StateTable
+
+    state = StateTable(str(tmp_path / "state"), save_interval=3, keep_snapshots=4)
+    state.init(fixtures.base_state_df(spark))
+    base_rows = state.read(spark).count()
+    total = base_rows
+    for seq in range(1, 10):
+        batch = fixtures.base_state_df(spark).limit(5).withColumn(
+            "id", F.col("id") + F.lit(100000 * seq)
+        )
+        state.append_batch(batch, seq=seq)
+        total += 5
+        assert state.read(spark).count() == total, f"rows drifted at seq {seq}"
+    cur = state.table.current()
+    assert len(cur.data_dirs) <= 3 + 1, cur.data_dirs
+    ops = [s.operation for s in state.table.snapshots()]
+    assert "compact" in ops
+    # manifest is bounded and no dead dirs linger beyond kept snapshots
+    assert len(state.table.snapshots()) <= 4 + 3  # keep_snapshots + save_interval
+    live = {d for s in state.table.snapshots() for d in s.data_dirs}
+    on_disk = {
+        os.path.join(str(tmp_path / "state"), n)
+        for n in os.listdir(str(tmp_path / "state"))
+        if n.startswith("data-")
+    }
+    assert on_disk == live, (on_disk - live, live - on_disk)
+    # point lookup still prunes: partition dirs + id pushdown
+    keys = spark.createDataFrame([(4005,), (8003,)], "k long")
+    fetched = state.fetch_pairs(spark, keys)
+    plan = fetched._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(id" in plan.replace(" ", "").replace("[", "(")
+    assert {r["id"] for r in fetched.collect()} <= {4005 >> 2, 8003 >> 2}
