@@ -109,7 +109,14 @@ def entry(spark: SparkSession) -> DataFrame:
         ((F.pmod(key * 7919, F.lit(20000)).cast("double") / 100000.0) + 10.0).alias("lon"),
         ((F.pmod(key * 104729, F.lit(20000)).cast("double") / 100000.0) + 50.0).alias("lat"),
     )
-    layer = build_polygon_layer(spark, fixtures.base_state_df(spark), max_res=14)
+    # base fixture world (3 multipolygon features) + a 10x10 building
+    # grid tiling the bbox: ~103 polygon features, so the flagship join
+    # exercises broad feature fan-out and Zipf-skewed cells rather than
+    # a 2-feature toy match
+    state = fixtures.base_state_df(spark).unionByName(
+        fixtures.dense_grid_state_df(spark, n=10)
+    )
+    layer = build_polygon_layer(spark, state, max_res=14)
     joined = pip_join_broadcast(pts, layer)
     feats = spark.createDataFrame(
         pd.DataFrame(

@@ -248,6 +248,38 @@ def base_state_df(spark):
     return spark.createDataFrame(base_state_rows(), OSM_SCHEMA)
 
 
+def dense_grid_state_rows(n: int = 10, id_base: int = 10_000_000) -> list[tuple]:
+    """An n x n grid of closed building ways tiling the fixture bbox
+    [10, 10.2] x [50, 50.2] — a denser polygon layer for flagship /
+    skew exercises (ids disjoint from the base fixture world)."""
+    rows = []
+    t = _ts(0, 0)
+    nid = id_base
+    for gy in range(n):
+        for gx in range(n):
+            x0 = 10.0 + 0.2 * gx / n
+            y0 = 50.0 + 0.2 * gy / n
+            w = 0.16 / n
+            h = 0.16 / n
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            ids = []
+            for lon, lat in corners:
+                rows.append(_node_row(nid, 1, t, lon=lon, lat=lat))
+                ids.append(nid)
+                nid += 1
+            rows.append(
+                _way_row(
+                    id_base + 500_000 + gy * n + gx, 1, t,
+                    nds=ids + [ids[0]], tags={"building": "yes"},
+                )
+            )
+    return rows
+
+
+def dense_grid_state_df(spark, n: int = 10, id_base: int = 10_000_000):
+    return spark.createDataFrame(dense_grid_state_rows(n, id_base), OSM_SCHEMA)
+
+
 def change_batch_df(spark, seq: int):
     return spark.createDataFrame(change_batch_rows()[seq], OSM_SCHEMA)
 

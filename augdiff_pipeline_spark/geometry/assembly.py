@@ -281,7 +281,29 @@ def dissolve_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
             cands = [k for k in adj.get(cur, []) if not visited[k]]
             if not cands or steps > len(kept):
                 raise AssemblyError("unable to stitch union boundary")
-            k = cands[0]
+            if len(cands) > 1:
+                # >=3 boundary edges meet here (rings crossing at one
+                # point / pinch vertex): an arbitrary pick could stitch
+                # a self-intersecting ring.  Take the LEFTMOST turn
+                # relative to the incoming direction — consistently
+                # applied, the traversal cannot cross itself at the
+                # vertex (planar face-walk rule).
+                inx = cur[0] - float(path[-2][0])
+                iny = cur[1] - float(path[-2][1])
+
+                def turn_angle(kk):
+                    ox = float(kept[kk][1][0]) - cur[0]
+                    oy = float(kept[kk][1][1]) - cur[1]
+                    import math
+
+                    # CCW angle from the REVERSED incoming vector to the
+                    # outgoing vector, in (0, 2*pi): max = leftmost turn
+                    ang = math.atan2(iny * ox - inx * oy, -(inx * ox + iny * oy))
+                    return ang % (2 * math.pi)
+
+                k = max(cands, key=turn_angle)
+            else:
+                k = cands[0]
             visited[k] = True
             path.append(kept[k][1])
             cur = (float(kept[k][1][0]), float(kept[k][1][1]))

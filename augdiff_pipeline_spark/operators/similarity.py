@@ -122,18 +122,30 @@ def lsh_topk(
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates via band equi-join, exact refine."""
+    """Approximate top-k: candidates via band equi-join, exact refine.
+
+    ``max_bucket`` (None = uncapped, the contract-exactness setting)
+    drops signature buckets with more members before the refine — a
+    degenerate hot bucket would otherwise flood the candidate set with
+    bucket-size rows PER QUERY; capped vectors still reach queries
+    through their other, more selective bands."""
     sigs = hyperplane_signatures(embeddings, n_bits, bands, id_col=id_col, vec_col=vec_col)
     qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "band", "key"
     )
-    cand = (
-        sigs.join(F.broadcast(qs), ["band", "key"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
+    joined = sigs.join(F.broadcast(qs), ["band", "key"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "key")
+        joined = (
+            joined.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    cand = joined.select("query_id", "vec_id").distinct()
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -181,6 +193,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """(a, b, cos_sim) exact embedding-cosine near-duplicate pairs,
     a < b, cos_sim rounded to 6dp with the threshold applied to the
@@ -190,15 +203,22 @@ def cosine_pairs(
     batch computes its block row of the similarity matrix with ONE BLAS
     matmul against the broadcast side and emits only qualifying pairs —
     a block-distributed exact O(n^2/B) baseline with zero shuffles.
-    Above ``max_broadcast_rows`` use ``cosine_pairs_lsh`` (candidates
-    via hyperplane bands; the all-pairs matmul stops being the right
-    tool before the broadcast stops fitting).
+    Above ``max_broadcast_rows`` OR ``max_broadcast_bytes`` (rows x dim
+    x 8 — a 2M-row, 1024-dim corpus is ~16 GB and must not pass a
+    row-only guard) use ``cosine_pairs_lsh`` (candidates via hyperplane
+    bands; the all-pairs matmul stops being the right tool before the
+    broadcast stops fitting).
     """
     spark = embeddings.sparkSession
-    n = embeddings.count()
-    if n > max_broadcast_rows:
+    agg = embeddings.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("dim")
+    ).first()
+    n, dim = int(agg["n"]), int(agg["dim"] or 0)
+    est_bytes = n * dim * 8
+    if n > max_broadcast_rows or est_bytes > max_broadcast_bytes:
         raise ValueError(
-            f"{n} rows exceed the exact-broadcast budget ({max_broadcast_rows}); "
+            f"{n} rows x {dim} dims (~{est_bytes} B) exceed the exact-broadcast "
+            f"budget ({max_broadcast_rows} rows / {max_broadcast_bytes} B); "
             "use cosine_pairs_lsh for the approximate scale path"
         )
     ids, mn = _collect_normalized(embeddings, id_col, vec_col)
@@ -237,19 +257,22 @@ def cosine_pairs_lsh(
     bands: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: hyperplane-band candidates
-    (signature self-join — vectors never shuffle), exact cosine verify
-    on candidates only.  Recall < 1 by construction; tests bound it
-    against the exact operator."""
+    (one-shuffle bucketed pair emission — vectors never shuffle), exact
+    cosine verify on candidates only.  Recall < 1 by construction;
+    tests bound it against the exact operator.
+
+    ``max_bucket`` drops signature buckets with more members (the
+    standard too-common-to-discriminate cap: a degenerate bucket —
+    e.g. every near-zero vector hashing alike — would emit ~m^2/2
+    candidate pairs; capped members still pair through their other,
+    rarer bands)."""
+    from .dedup import _bucket_pairs
+
     sigs = hyperplane_signatures(embeddings, n_bits, bands, id_col=id_col, vec_col=vec_col)
-    l, r = sigs.alias("l"), sigs.alias("r")
-    cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
-        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(sigs, ["band", "key"], "vec_id", max_bucket=max_bucket)
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     paired = (
         cand.join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")

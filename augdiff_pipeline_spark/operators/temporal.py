@@ -34,15 +34,21 @@ def asof_join(
     ``prefix + ts`` and ``prefix + c`` for each requested right column.
     Left rows with no prior right row are dropped (inner as-of)."""
     carried = [ts] + [c for c in right_cols if c != ts]
+    # the carried right columns travel as ONE struct and a single
+    # last(ignorenulls) picks the whole matched row — back-filling each
+    # column independently would stitch values from DIFFERENT right
+    # rows whenever a newer right row holds a genuine NULL in one
+    # carried column (non-standard as-of semantics)
     r = right.select(
         *keys,
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_asof_row"),
     )
-    l = left.withColumn("_side", F.lit(1))
-    for c in carried:
-        l = l.withColumn(f"{prefix}{c}", F.lit(None).cast(r.schema[f"{prefix}{c}"].dataType))
+    struct_type = r.schema["_asof_row"].dataType
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_asof_row", F.lit(None).cast(struct_type)
+    )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
@@ -51,13 +57,16 @@ def asof_join(
     )
     filled = u.select(
         *[c for c in left.columns],
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in carried],
+        F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"),
         F.col("_side"),
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .filter(F.col(f"{prefix}{ts}").isNotNull())
-        .drop("_side")
+        .filter(F.col("_asof_row").isNotNull())
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_asof_row.{c}").alias(f"{prefix}{c}") for c in carried],
+        )
     )
 
 

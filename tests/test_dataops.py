@@ -195,6 +195,31 @@ def test_cosine_pairs_guard(spark, vectors):
 
     with pytest.raises(ValueError):
         cosine_pairs(vectors, 0.8, max_broadcast_rows=10)
+    # byte guard fires even when the ROW count is under budget
+    # (2M x 1024-dim x 8B = 16 GB must not pass a row-only check)
+    with pytest.raises(ValueError):
+        cosine_pairs(vectors, 0.8, max_broadcast_bytes=64)
+
+
+def test_hot_bucket_caps(spark, vectors):
+    """max_bucket drops oversized signature buckets: output stays a
+    subset of the uncapped result, and a generous cap changes nothing."""
+    from augdiff_pipeline_spark.operators.similarity import cosine_pairs_lsh, lsh_topk
+
+    thr = 0.6
+    uncapped = {(r["a"], r["b"]) for r in cosine_pairs_lsh(vectors, thr).collect()}
+    generous = {(r["a"], r["b"]) for r in cosine_pairs_lsh(vectors, thr, max_bucket=10**6).collect()}
+    assert generous == uncapped
+    tight = {(r["a"], r["b"]) for r in cosine_pairs_lsh(vectors, thr, max_bucket=2).collect()}
+    assert tight <= uncapped
+
+    un_t = {(r["query_id"], r["vec_id"]) for r in lsh_topk(vectors, [0, 10], k=5).collect()}
+    gen_t = {(r["query_id"], r["vec_id"]) for r in lsh_topk(vectors, [0, 10], k=5, max_bucket=10**6).collect()}
+    assert gen_t == un_t
+    # a tight cap still returns a well-formed (<= k per query) result;
+    # membership may differ since surviving candidates re-rank
+    tight_t = lsh_topk(vectors, [0, 10], k=5, max_bucket=2).toPandas()
+    assert (tight_t.groupby("query_id").size() <= 5).all()
 
 
 def test_simhash_pairs_ignores_tokenless_docs(spark):

@@ -96,3 +96,28 @@ def test_dissolve_union_hole_from_outers_becomes_inner():
     assert isinstance(geom, core.Polygon)
     assert len(geom.rings) == 2
     assert abs(geom.area - 12.0) < 1e-9
+
+
+def test_dissolve_rings_pinch_vertex_stays_simple():
+    """Two squares touching at exactly one corner: four boundary edges
+    meet at the pinch vertex; the leftmost-turn rule must produce
+    simple rings (two separate squares or one valid 8-figure split),
+    never a self-crossing ring."""
+    import numpy as np
+
+    from augdiff_pipeline_spark.geometry.assembly import dissolve_rings
+    from augdiff_pipeline_spark.geometry.core import ring_area
+
+    sq1 = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])
+    sq2 = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]])
+    out = dissolve_rings([sq1, sq2])
+    # total dissolved area preserved
+    assert abs(sum(abs(ring_area(r)) for r in out) - 2.0) < 1e-9
+    # every emitted ring is simple: no repeated vertex except closure
+    for ring in out:
+        pts = [tuple(p) for p in ring[:-1]]
+        # the pinch vertex may legitimately appear twice ONLY if the
+        # dissolve emits a single combined ring; separate rings must
+        # not repeat any vertex
+        if len(out) > 1:
+            assert len(pts) == len(set(pts)), pts

@@ -90,3 +90,31 @@ def test_sessionize_gap_semantics(spark):
     assert u1[0]["session_end"] == m(70)   # last event (40) + 30min gap
     assert u1[1]["session_end"] == m(110)  # last event (80) + 30min gap
     assert len([r for r in got if r["user_id"] == 2]) == 1
+
+
+def test_asof_join_null_carried_column_stays_one_row(spark):
+    """A right row with a genuine NULL in one carried column must NOT be
+    stitched together with an older row's value for that column — all
+    carried values come from the single matched as-of row."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "user_id": [7], "ts": [m(30)]})
+    )
+    right = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [7, 7],
+                    "ts": [m(10), m(20)],
+                    "quote": [1.0, None],
+                    "venue": ["A", "B"],
+                }
+            )
+        )
+        .withColumn("quote", F.col("quote").cast("double"))
+    )
+    rows = asof_join(left, right, ["user_id"], "ts", ["quote", "venue"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # matched row is the m(20) one: quote must be NULL (not back-filled
+    # from the m(10) row), venue must be B
+    assert r["asof_ts"] == m(20) and r["asof_venue"] == "B" and r["asof_quote"] is None
