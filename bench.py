@@ -161,7 +161,16 @@ def main() -> None:
         )
     else:
         n_meta = n_images
-        meta = images.select("image_id", "lon", "lat").localCheckpoint(eager=True)
+        # right-size the 3-column meta table: the 4 MB input-split conf
+        # is tuned for the BLOB table and leaves ~500 splits here, and
+        # each mapInPandas/mapInArrow task pays ~80-100 ms of fixed
+        # Python-worker cost — 2 partitions/core cuts ~3.5 s of pure
+        # task overhead from every fact-side query (measured)
+        meta = (
+            images.select("image_id", "lon", "lat")
+            .repartition(2 * cpus)
+            .localCheckpoint(eager=True)
+        )
     # finer cover -> most interior hits resolve JVM-side in the hybrid
     # cell join (only the boundary band crosses into Arrow)
     layer = build_polygon_layer(
