@@ -151,7 +151,9 @@ def minhash_bands(docs: DataFrame, num_perm: int = 128, bands: int = 64,
             hv, offs, _ = _batch_shingle_hashes(list(pdf[text_col]))
             # signature matrix: one vectorized pass per salt over ALL
             # shingles in the batch (segments never empty: padding
-            # guarantees ≥1 shingle per doc)
+            # guarantees ≥1 shingle per doc).  Measured: the per-salt
+            # 1-D loop beats a 2-D (shingles x salts) mix + axis-0
+            # reduceat by ~5x — the 2-D intermediate thrashes cache.
             sigs = np.empty((n, num_perm), dtype=np.uint64)
             for j in range(num_perm):
                 sigs[:, j] = np.minimum.reduceat(_mix64(hv ^ salts[j]), offs)

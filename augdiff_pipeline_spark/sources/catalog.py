@@ -40,8 +40,15 @@ class Snapshot:
 
 
 class SnapshotTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, data_format: str = "parquet"):
+        """``data_format``: 'parquet' (default) or 'orc' — the reference
+        is ORC end-to-end (OrcBackend.scala); Spark's native orc
+        source gives the same bloom/statistics machinery, so format is
+        a storage choice, not a capability difference."""
+        if data_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported data_format {data_format!r}")
         self.path = path
+        self.data_format = data_format
         self.meta_path = os.path.join(path, "_meta")
         self.manifest_path = os.path.join(self.meta_path, "snapshots.json")
         os.makedirs(self.meta_path, exist_ok=True)
@@ -76,7 +83,7 @@ class SnapshotTable:
         writer = df.write.mode("overwrite")
         if writer_conf:
             writer = writer_conf(writer)
-        writer.parquet(d)
+        writer.format(self.data_format).save(d)
         return d
 
     def append(self, df: DataFrame, operation: str = "append", summary: dict | None = None, writer_conf=None) -> int:
@@ -198,7 +205,7 @@ class SnapshotTable:
             reader = spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            return reader.parquet(d)
+            return reader.format(self.data_format).load(d)
 
         out = load(snap.data_dirs[0])
         for d in snap.data_dirs[1:]:

@@ -41,6 +41,16 @@ def clustered_writer(writer):
     )
 
 
+def clustered_writer_orc(writer):
+    # the ORC twin: the reference's exact write options
+    # (OrcBackend.scala:275-277 — bloom on id, 1000-row index stride)
+    return (
+        writer.partitionBy("p")
+        .option("orc.bloom.filter.columns", "id")
+        .option("orc.row.index.stride", "1000")
+    )
+
+
 # compact every N appended batches (reference: saveInterval=5 flush +
 # re-cluster cadence, AugmentedDiff.scala:226-233) and keep this many
 # snapshots time-travelable before expiry reclaims their files
@@ -59,24 +69,28 @@ class StateTable:
     KEEP_SNAPSHOTS + SAVE_INTERVAL manifest entries."""
 
     def __init__(self, path: str, save_interval: int = SAVE_INTERVAL,
-                 keep_snapshots: int = KEEP_SNAPSHOTS):
-        self.table = SnapshotTable(path)
+                 keep_snapshots: int = KEEP_SNAPSHOTS,
+                 data_format: str = "parquet"):
+        self.table = SnapshotTable(path, data_format=data_format)
+        self._writer_conf = (
+            clustered_writer_orc if data_format == "orc" else clustered_writer
+        )
         self.save_interval = save_interval
         self.keep_snapshots = keep_snapshots
 
     def init(self, df: DataFrame) -> int:
-        return self.table.overwrite(self._cluster(df), writer_conf=clustered_writer)
+        return self.table.overwrite(self._cluster(df), writer_conf=self._writer_conf)
 
     def append_batch(self, df: DataFrame, seq: int) -> int:
         sid = self.table.append(
             self._cluster(df), operation="append", summary={"seq": seq},
-            writer_conf=clustered_writer,
+            writer_conf=self._writer_conf,
         )
         cur = self.table.current()
         if cur is not None and len(cur.data_dirs) > self.save_interval:
             cid = self.table.compact(
                 df.sparkSession, transform=self._cluster,
-                writer_conf=clustered_writer, schema=OSM_SCHEMA,
+                writer_conf=self._writer_conf, schema=OSM_SCHEMA,
             )
             if cid is not None:
                 sid = cid

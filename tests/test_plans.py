@@ -156,3 +156,26 @@ def test_state_compaction_bounds_dirs_and_preserves_reads(spark, tmp_path):
     plan = fetched._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "In(id" in plan.replace(" ", "").replace("[", "(")
     assert {r["id"] for r in fetched.collect()} <= {4005 >> 2, 8003 >> 2}
+
+
+def test_orc_state_table_roundtrip_and_pruning(spark, tmp_path):
+    """ORC storage parity (the reference is ORC end-to-end,
+    OrcBackend.scala): same snapshot/cluster/lookup contract, reference
+    write options (bloom on id, 1000-row index stride), same results."""
+    from augdiff_pipeline_spark.sources.state import StateTable
+
+    state = StateTable(str(tmp_path / "orcstate"), data_format="orc")
+    state.init(fixtures.base_state_df(spark))
+    state.append_batch(
+        fixtures.base_state_df(spark).limit(5).withColumn("id", F.col("id") + 900000),
+        seq=1,
+    )
+    want = StateTable(str(tmp_path / "pqstate"))
+    want.init(fixtures.base_state_df(spark))
+    assert state.read(spark).count() == want.read(spark).count() + 5
+    keys = spark.createDataFrame([(4005,), (8001,)], "k long")
+    got = {(r["id"], r["type"]) for r in state.fetch_pairs(spark, keys).collect()}
+    exp = {(r["id"], r["type"]) for r in want.fetch_pairs(spark, keys).collect()}
+    assert got == exp
+    plan = state.fetch_pairs(spark, keys)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(id" in plan.replace(" ", "").replace("[", "(")
