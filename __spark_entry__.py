@@ -562,7 +562,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q31_phash_image_dedup"] = q31
 
+    def q32(spark, sf):  # video frame sampling over opaque containers
+        import pandas as pd
+
+        from augdiff_pipeline_spark.operators.multimodal import (
+            encode_fake_video,
+            sample_frames,
+        )
+
+        ids = _t(spark, sf, "embeddings").select("vec_id").filter(F.col("vec_id") < 40)
+
+        def synth(it):
+            for pdf in it:
+                out_id, out_b = [], []
+                for vid in pdf["vec_id"]:
+                    out_id.append(f"vid_{int(vid)}")
+                    out_b.append(encode_fake_video(_q32_frames(int(vid))))
+                yield pd.DataFrame({"video_id": out_id, "bytes": out_b})
+
+        vids = ids.mapInPandas(synth, "video_id string, bytes binary")
+        return sample_frames(vids, every_n=5)
+
+    q["q32_video_frame_sample"] = q32
+
+    def q33(spark, sf):  # windowed audio RMS energy
+        import pandas as pd
+
+        from augdiff_pipeline_spark.operators.multimodal import (
+            audio_energy_windows,
+            encode_fake_audio,
+        )
+
+        ids = _t(spark, sf, "embeddings").select("vec_id").filter(F.col("vec_id") < 40)
+
+        def synth(it):
+            for pdf in it:
+                out_id, out_b = [], []
+                for vid in pdf["vec_id"]:
+                    out_id.append(f"aud_{int(vid)}")
+                    out_b.append(encode_fake_audio(_q33_pcm(int(vid))))
+                yield pd.DataFrame({"audio_id": out_id, "bytes": out_b})
+
+        auds = ids.mapInPandas(synth, "audio_id string, bytes binary")
+        return audio_energy_windows(auds, window_ms=100)
+
+    q["q33_audio_energy"] = q33
+
     return q
+
+
+def _q32_frames(vid: int):
+    """Deterministic fake video: 12 frames of 16x16 RGB from rng(vid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(vid + 4242)
+    return rng.integers(0, 256, (12, 16, 16, 3), dtype=np.uint8)
+
+
+def _q33_pcm(vid: int):
+    """Deterministic fake PCM: 0.5 s of int16 noise at 16 kHz."""
+    import numpy as np
+
+    rng = np.random.default_rng(vid + 3131)
+    return rng.integers(-20000, 20000, 8000).astype("<i2")
 
 
 def _q31_image(vid: int):
@@ -882,7 +944,49 @@ def oracle_sql() -> dict[str, str]:
     # brute-force hamming self-join in SQL — bit_count(xor(..)) counts
     # the same two's-complement 64-bit pattern in both engines.
     o["q31_phash_image_dedup"] = _q31_oracle_sql()
+
+    # q32/q33: pinned-golden VALUES (same recomputation argument as
+    # q23) — fake containers are synthesized deterministically from
+    # vec_id, so the expected frame phashes / window RMS values are
+    # recomputed here by the same pure-numpy kernels, pinning the
+    # Spark-side container-decode plumbing end-to-end.
+    o["q32_video_frame_sample"] = _q32_oracle_sql()
+    o["q33_audio_energy"] = _q33_oracle_sql()
     return o
+
+
+def _q32_oracle_sql() -> str:
+    from augdiff_pipeline_spark.operators import images as imgcodec
+
+    rows = []
+    for vid in range(40):
+        frames = _q32_frames(vid)
+        for fno in range(0, len(frames), 5):
+            rows.append(f"('vid_{vid}', {fno}, {imgcodec.phash64(frames[fno])})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(video_id, frame_no, frame_phash)"
+    )
+
+
+def _q33_oracle_sql() -> str:
+    import numpy as np
+
+    rows = []
+    for vid in range(40):
+        pcm = _q33_pcm(vid).astype(np.float64)
+        wlen = 1600  # 100 ms at 16 kHz
+        n = len(pcm) // wlen
+        w = pcm[: n * wlen].reshape(n, wlen)
+        rms = np.round(np.sqrt((w * w).mean(axis=1)), 6)
+        for wno in range(n):
+            rows.append(
+                f"('aud_{vid}', {wno}, CAST('{float(rms[wno]):.17g}' AS DOUBLE))"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(audio_id, window_no, rms)"
+    )
 
 
 def _q31_oracle_sql() -> str:

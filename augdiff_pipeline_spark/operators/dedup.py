@@ -502,7 +502,8 @@ def _band_splits(bits: int, bands: int) -> list[tuple[int, int]]:
 
 
 def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """(a, b, hamming) pairs of 64-bit hashes within ``max_hamming``
     bits — the generic banded-hamming join (SimHash text dedup, phash
     image dedup, any 64-bit fingerprint).
@@ -520,7 +521,9 @@ def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
     ~512 distinct keys per band, and candidate volume grows ~n²/512.
     At corpus scale keep max_hamming <= 3 (16-bit bands, ~65k
     keys/band) or split-and-recurse (multi-index) — no join strategy
-    can shrink a quadratic candidate set.
+    can shrink a quadratic candidate set.  ``max_bucket`` (None = exact,
+    the contract setting) drops larger-than-cap band buckets — the
+    corpus-scale guard against a degenerate key flooding the verify.
     """
     if max_hamming >= 64:
         raise ValueError("max_hamming must be < 64")
@@ -539,7 +542,7 @@ def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
         ).alias("bk"),
     ).select("_id", "_hv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     cand = _bucket_pairs(banded, ["band", "key"], "_id",
-                         payload_col="_hv", dedupe=False)
+                         max_bucket=max_bucket, payload_col="_hv", dedupe=False)
     return (
         cand.select(
             "a", "b",
