@@ -69,9 +69,11 @@ def invalidate_layer_caches() -> None:
     _PREFILTER_CACHE.clear()
     _COVERS_CACHE.clear()
     _LAYER_BYTES_CACHE.clear()
+    _GEOMS_CACHE.clear()
 
 
 _LAYER_BYTES_CACHE: dict[tuple, int] = {}
+_GEOMS_CACHE: dict[tuple, object] = {}
 
 
 def estimate_layer_bytes(layer: DataFrame) -> int:
@@ -355,15 +357,26 @@ def cell_equi_join(
     )
 
     if broadcast_geoms:
-        boundary_fids = covers.filter(~F.col("full")).select("feature_id").distinct()
-        geoms = {
-            int(r["feature_id"]): bytes(r["geom_wkb"])
-            for r in layer.select("feature_id", "geom_wkb")
-            .join(F.broadcast(boundary_fids), "feature_id", "left_semi")
-            .distinct()
-            .collect()
-        }
-        bc = spark.sparkContext.broadcast(geoms)
+        # memoized per (app, layer, res): the layer side is joined
+        # against every micro-batch — steady state must not re-collect
+        # and re-broadcast the boundary geometries each batch
+        key = _layer_cache_key(layer, res, "boundary_geoms")
+        bc = None
+        if key is not None:
+            _purge_dead_entries(_GEOMS_CACHE, key[0])
+            bc = _GEOMS_CACHE.get(key)
+        if bc is None:
+            boundary_fids = covers.filter(~F.col("full")).select("feature_id").distinct()
+            geoms = {
+                int(r["feature_id"]): bytes(r["geom_wkb"])
+                for r in layer.select("feature_id", "geom_wkb")
+                .join(F.broadcast(boundary_fids), "feature_id", "left_semi")
+                .distinct()
+                .collect()
+            }
+            bc = spark.sparkContext.broadcast(geoms)
+            if key is not None:
+                _GEOMS_CACHE[key] = bc
 
         def refine(it):
             gd = bc.value

@@ -132,3 +132,23 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def deduplicated_event_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: the first arrival of each key within the
+    watermark horizon passes, re-deliveries drop — the streaming twin
+    of ``operators.dedup.exact_dedup_groups``'s keep-first semantics.
+
+    Uses the NATIVE ``dropDuplicates`` stateful operator (RocksDB/HDFS
+    state store keyed by the id columns); the watermark bounds state:
+    keys older than the horizon are evicted, so state size tracks the
+    de-dup window, not the stream's lifetime — the only shape that
+    survives an unbounded stream.
+    """
+    id_cols = id_cols or ["event_id"]
+    return events.withWatermark(ts, watermark).dropDuplicates(id_cols)

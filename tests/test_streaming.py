@@ -162,3 +162,39 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """Exact-dedup stream: re-delivered event ids within the watermark
+    pass through exactly once."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from augdiff_pipeline_spark.streaming.stream import deduplicated_event_stream
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 2, 3, 1, 4],
+            "user_id": [7, 7, 7, 8, 7, 8],
+            "ts": [t0, t0, t0, t0 + dt.timedelta(minutes=1), t0, t0 + dt.timedelta(minutes=2)],
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+    deduped = deduplicated_event_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # 1,2,3,4 each exactly once
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {1, 2, 3, 4}
