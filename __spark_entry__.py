@@ -608,6 +608,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q33_audio_energy"] = q33
 
+    def q34(spark, sf):  # exact per-group quantiles (percentile agg)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))").alias("q"))
+            .select(
+                "event_type",
+                F.col("q")[0].alias("p25"),
+                F.col("q")[1].alias("p50"),
+                F.col("q")[2].alias("p75"),
+                F.col("q")[3].alias("p90"),
+            )
+        )
+
+    q["q34_group_quantiles"] = q34
+
     return q
 
 
@@ -952,6 +968,18 @@ def oracle_sql() -> dict[str, str]:
     # Spark-side container-decode plumbing end-to-end.
     o["q32_video_frame_sample"] = _q32_oracle_sql()
     o["q33_audio_energy"] = _q33_oracle_sql()
+
+    # q34: Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    # use linear interpolation over the sorted values — measured
+    # bit-identical on the fixture tables.
+    o["q34_group_quantiles"] = """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.9)  AS p90
+        FROM events GROUP BY 1
+    """
     return o
 
 
