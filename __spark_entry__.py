@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             "doc_id",
             text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            text.subword_count(F.col("text")).cast("long").alias("n_subwords"),
             text.punct_count(F.col("text")).cast("long").alias("n_punct"),
             text.quality_score(F.col("text")).alias("quality"),
         )
@@ -776,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
     o["q15_text_quality"] = f"""
         SELECT doc_id,
                cast({text.token_count_sql('text')} AS bigint) AS n_tokens,
+               cast({text.subword_count_sql('text')} AS bigint) AS n_subwords,
                cast({text.punct_count_sql('text')} AS bigint) AS n_punct,
                {text.quality_score_sql('text')} AS quality
         FROM documents

@@ -31,6 +31,24 @@ def token_count_sql(col: str) -> str:
     return f"len(regexp_split_to_array(trim({col}), '\\s+'))"
 
 
+# BPE-ish pre-tokenization classes (the GPT-2 pattern's skeleton):
+# letter runs, digit runs, and single non-alphanumeric marks each count
+# as one subword unit.  ASCII classes only — Java regex (Spark) and RE2
+# (DuckDB) agree on them byte-for-byte; non-ASCII letters fall into the
+# per-character mark class identically in both engines.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish subword unit count (pre-tokenizer granularity) — the
+    cost estimator a training-data pipeline budgets tokens with."""
+    return F.regexp_count(text, F.lit(SUBWORD_PATTERN))
+
+
+def subword_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{SUBWORD_PATTERN}'))"
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 
