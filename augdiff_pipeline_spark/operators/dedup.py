@@ -348,7 +348,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     # no self-join, no materialization barrier.  max_bucket caps
     # pathological buckets at corpus scale (None = exact).
     sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
-    cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id", max_bucket=max_bucket)
+    # dedupe=True (the pre-verify distinct) is load-bearing: near-dup
+    # docs collide in MANY bands, so the raw pair stream carries each
+    # hot pair up to `bands` times — measured 2x slower end-to-end when
+    # the distinct was deferred past the verify.
+    cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id",
+                         max_bucket=max_bucket)
     # the verify kernel is CPU-bound (~13µs/pair); AQE's advisory size
     # coalesces the tiny (16 B/row) pair shuffle onto a handful of
     # partitions, which would serialize it — spread pairs across the
