@@ -87,7 +87,10 @@ def knn_join(
     """
     spark = images.sparkSession
     if estimate_feature_bytes(features) > max_broadcast_bytes:
-        return knn_join_shuffle(images, features, k=k, res=res, id_col=id_col)
+        # res=None: the shuffle path picks its own grid resolution from
+        # feature density (the broadcast kernel's res suits an in-memory
+        # ring walk, not a distributed bucket join)
+        return knn_join_shuffle(images, features, k=k, id_col=id_col)
     fc, ff, flon, flat = collect_feature_points(features, res)
     bc = spark.sparkContext.broadcast((fc, ff, flon, flat))
     id_type = images.schema[id_col].dataType.simpleString()
@@ -227,11 +230,41 @@ def _score_topk(cand: DataFrame, k: int, safe_sq: float | None):
     return topk, proven
 
 
+_AUTO_RES_MAX = 22
+
+
+def _pick_shuffle_res(features: DataFrame, max_bucket: int = 64) -> int:
+    """Finest-data-aware grid resolution: the COARSEST res whose
+    largest feature bucket holds <= max_bucket points.
+
+    Resolution is the make-or-break knob of a bucketed kNN: too coarse
+    and one dense cell puts ~bucket_size candidates on EVERY image in
+    it (candidate volume ~ images x bucket — measured catastrophic);
+    too fine and sparse regions need many expansion rounds.  One
+    aggregate builds the res-22 cell histogram; coarser levels derive
+    from it by shifting (log-many tiny jobs, no rescans of the
+    feature table)."""
+    base = features.groupBy(
+        cells.morton_col(F.col("lon"), F.col("lat"), _AUTO_RES_MAX).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    for r in range(8, _AUTO_RES_MAX + 1, 2):
+        shift = 2 * (_AUTO_RES_MAX - r)
+        m = (
+            base.groupBy(F.shiftrightunsigned(F.col("c"), shift).alias("cc"))
+            .agg(F.sum("n").alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()["m"]
+        )
+        if m is not None and m <= max_bucket:
+            return r
+    return _AUTO_RES_MAX
+
+
 def knn_join_shuffle(
     images: DataFrame,
     features: DataFrame,
     k: int = 3,
-    res: int = 10,
+    res: int | None = None,
     id_col: str = "image_id",
     rounds: tuple[int, ...] = (1, 3, 7, 15),
 ) -> DataFrame:
@@ -257,7 +290,15 @@ def knn_join_shuffle(
 
     Rankings use the same squared-planar-degree distance and
     (dist, feature_id) tie-break as every other engine twin.
+
+    ``res=None`` (default) picks the grid resolution from the feature
+    table's measured cell density (see ``_pick_shuffle_res``) — the
+    fixed-res form is exact at any res, but a res mismatched to the
+    density either floods the candidate join (dense buckets) or
+    multiplies expansion rounds (sparse ones).
     """
+    if res is None:
+        res = _pick_shuffle_res(features)
     n_side = 1 << res
     cell_min = min(360.0 / n_side, 180.0 / n_side)
     id_type = images.schema[id_col].dataType.simpleString()
