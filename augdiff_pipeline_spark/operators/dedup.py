@@ -348,16 +348,18 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     # no self-join, no materialization barrier.  max_bucket caps
     # pathological buckets at corpus scale (None = exact).
     sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
-    # dedupe=True (the pre-verify distinct) is load-bearing: near-dup
-    # docs collide in MANY bands, so the raw pair stream carries each
-    # hot pair up to `bands` times — measured 2x slower end-to-end when
-    # the distinct was deferred past the verify.
+    # Candidate shape, measured against two tempting "optimizations":
+    # the pre-verify distinct is load-bearing (near-dup docs collide in
+    # MANY bands; deferring the dedupe past the verify was 2x slower),
+    # and it must stay a distinct-THEN-repartition pair — distinct's
+    # map-side partial aggregation collapses the duplicated raw stream
+    # before anything shuffles, while a fused repartition(a, b) +
+    # dropDuplicates shuffles the full raw multiplicity first (also
+    # measured slower).  The trailing repartition pins the CPU-bound
+    # verify's parallelism against AQE's advisory-size coalescing; at
+    # 16 B/row it is trivial.
     cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id",
                          max_bucket=max_bucket)
-    # the verify kernel is CPU-bound (~13µs/pair); AQE's advisory size
-    # coalesces the tiny (16 B/row) pair shuffle onto a handful of
-    # partitions, which would serialize it — spread pairs across the
-    # cluster before the kernel (the reshuffle is trivial at 16 B/row)
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
     # route on Catalyst's plan-size estimate (free — no extra scan job);
     # shingle hashes are ~8 bytes per char, so ~8x the raw text bytes.
