@@ -231,6 +231,7 @@ def _score_topk(cand: DataFrame, k: int, safe_sq: float | None):
 
 
 _AUTO_RES_MAX = 22
+_KNN_RES_CACHE: dict[tuple, int] = {}
 
 
 def _pick_shuffle_res(features: DataFrame, max_bucket: int = 64) -> int:
@@ -243,7 +244,15 @@ def _pick_shuffle_res(features: DataFrame, max_bucket: int = 64) -> int:
     too fine and sparse regions need many expansion rounds.  One
     aggregate builds the res-22 cell histogram; coarser levels derive
     from it by shifting (log-many tiny jobs, no rescans of the
-    feature table)."""
+    feature table).  Memoized per (app, features-plan): a static
+    feature layer joined every micro-batch pays the histogram once."""
+    from .spatial_join import _layer_cache_key, _purge_dead_entries
+
+    key = _layer_cache_key(features, max_bucket, "knn_res")
+    if key is not None:
+        _purge_dead_entries(_KNN_RES_CACHE, key[0])
+        if key in _KNN_RES_CACHE:
+            return _KNN_RES_CACHE[key]
     base = features.groupBy(
         cells.morton_col(F.col("lon"), F.col("lat"), _AUTO_RES_MAX).alias("c")
     ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
@@ -256,7 +265,11 @@ def _pick_shuffle_res(features: DataFrame, max_bucket: int = 64) -> int:
             .first()["m"]
         )
         if m is not None and m <= max_bucket:
+            if key is not None:
+                _KNN_RES_CACHE[key] = r
             return r
+    if key is not None:
+        _KNN_RES_CACHE[key] = _AUTO_RES_MAX
     return _AUTO_RES_MAX
 
 
