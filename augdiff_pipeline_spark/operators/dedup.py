@@ -177,6 +177,68 @@ def minhash_bands(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     )
 
 
+_INTEGRAL_SPARK_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _require_integral(rows: DataFrame, col: str, ctx: str) -> None:
+    """The banded-pair kernels carry ids/payloads through int64 numpy
+    arrays; anything else would silently truncate inside the Arrow
+    kernel.  Fail loudly at the API boundary instead (cast string ids
+    with e.g. xxhash64 or a dense zipWithIndex surrogate first)."""
+    t = dict(rows.dtypes)[col]
+    if t not in _INTEGRAL_SPARK_TYPES:
+        raise TypeError(
+            f"{ctx}: column {col!r} has type {t}, but the pair kernels "
+            "require an integral (castable-to-long) id/payload column — "
+            "derive a long surrogate (e.g. xxhash64) before calling"
+        )
+
+
+def _emit_bucket_pairs(lists: "pd.Series", plists: "pd.Series | None"):
+    """Vectorized all-unordered-pairs emission over a batch of bucket id
+    lists (each an int64 array, len >= 2).
+
+    Buckets are processed grouped BY SIZE: all size-m buckets stack into
+    one (k, m) matrix and emit their k*m(m-1)/2 pairs with two fancy
+    indexes — no per-bucket Python.  Real bucket-size distributions are
+    long-tailed with tiny sizes dominating (measured at bench scale:
+    ~13k size-2 buckets, ~20 distinct sizes total), so per-bucket
+    triu_indices paid ~50us of numpy-call overhead per 1-3 pair bucket;
+    the size-grouped form is one pass per DISTINCT size.
+    """
+    arrs = [np.asarray(x, dtype=np.int64) for x in lists]
+    sizes = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if arrs else sizes
+    pflat = None
+    if plists is not None:
+        pflat = np.concatenate([np.asarray(x, dtype=np.int64) for x in plists])
+    out_a, out_b, out_pa, out_pb = [], [], [], []
+    for m in np.unique(sizes):
+        m = int(m)
+        sel = starts[sizes == m]
+        rows_idx = sel[:, None] + np.arange(m)[None, :]
+        mat = flat[rows_idx]
+        iu, ju = np.triu_indices(m, 1)
+        a, b = mat[:, iu].ravel(), mat[:, ju].ravel()
+        flip = a > b
+        out_a.append(np.where(flip, b, a))
+        out_b.append(np.where(flip, a, b))
+        if pflat is not None:
+            pm = pflat[rows_idx]
+            pa, pb = pm[:, iu].ravel(), pm[:, ju].ravel()
+            out_pa.append(np.where(flip, pb, pa))
+            out_pb.append(np.where(flip, pa, pb))
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, (z if pflat is not None else None), (z if pflat is not None else None)
+    return (
+        np.concatenate(out_a), np.concatenate(out_b),
+        np.concatenate(out_pa) if pflat is not None else None,
+        np.concatenate(out_pb) if pflat is not None else None,
+    )
+
+
 def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
                   max_bucket: int | None = None, payload_col: str | None = None,
                   dedupe: bool = True) -> DataFrame:
@@ -184,12 +246,12 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
     groupBy + vectorized in-kernel pair emission.
 
     One shuffle (the groupBy), then each bucket's m(m-1)/2 pairs are
-    emitted by numpy triu indexing — microseconds even for a
-    100k-pair bucket, where an equi-self-join pays row-at-a-time join
-    machinery for the same output AND serializes the whole bucket's
-    quadratic output in one task (AQE skew-join never fires: it detects
-    shuffle-INPUT bytes, and a 1000-row bucket is ~24 KB in while the
-    blowup is in the OUTPUT).
+    emitted by size-grouped numpy triu indexing (``_emit_bucket_pairs``)
+    — vectorized across buckets, where an equi-self-join pays
+    row-at-a-time join machinery for the same output AND serializes the
+    whole bucket's quadratic output in one task (AQE skew-join never
+    fires: it detects shuffle-INPUT bytes, and a 1000-row bucket is
+    ~24 KB in while the blowup is in the OUTPUT).
 
     ``max_bucket`` is the production knob: buckets with more rows are
     DROPPED (their members pair via their other, rarer bands — the
@@ -201,12 +263,18 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
     output pairs, so at that size the real production answer is a
     ``max_bucket`` cap, not a bigger join.
 
-    ``payload_col`` (an int64 column) rides along: the output gains
+    ``payload_col`` (an integral column) rides along: the output gains
     (pa, pb) carrying each side's payload — this lets a caller verify
     pairs (e.g. simhash XOR) with ZERO joins back to the source.
     ``dedupe=False`` skips the output distinct for callers that
     deduplicate after their own (cheaper) verify stage.
+
+    Ids and payloads must be integral columns (validated up front —
+    they travel as int64 numpy arrays through the kernel).
     """
+    _require_integral(rows, id_col, "_bucket_pairs")
+    if payload_col:
+        _require_integral(rows, payload_col, "_bucket_pairs")
     cols = [id_col] + ([payload_col] if payload_col else [])
     agg = rows.groupBy(*key_cols).agg(*[F.collect_list(c).alias(f"_{c}") for c in cols])
     if max_bucket is not None:
@@ -215,26 +283,13 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
 
     def emit(it):
         for pdf in it:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                arr = np.asarray(row[0], dtype=np.int64)
-                iu, ju = np.triu_indices(len(arr), 1)
-                a, b = arr[iu], arr[ju]
-                flip = a > b
-                lo, hi = np.where(flip, b, a), np.where(flip, a, b)
-                if payload_col:
-                    p = np.asarray(row[1], dtype=np.int64)
-                    pa, pb = p[iu], p[ju]
-                    outs.append((lo, hi, np.where(flip, pb, pa), np.where(flip, pa, pb)))
-                else:
-                    outs.append((lo, hi))
-            width = 4 if payload_col else 2
-            names = ["a", "b", "pa", "pb"][:width]
-            if not outs:
-                yield pd.DataFrame({c: pd.Series([], dtype="int64") for c in names})
-                continue
-            yield pd.DataFrame({c: np.concatenate([o[i] for o in outs])
-                                for i, c in enumerate(names)})
+            a, b, pa, pb = _emit_bucket_pairs(
+                pdf.iloc[:, 0], pdf.iloc[:, 1] if payload_col else None
+            )
+            out = {"a": a, "b": b}
+            if payload_col:
+                out["pa"], out["pb"] = pa, pb
+            yield pd.DataFrame(out)
 
     schema = "a long, b long" + (", pa long, pb long" if payload_col else "")
     out = agg.mapInPandas(emit, schema)
@@ -299,21 +354,100 @@ def _self_join_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
 DEFAULT_MAX_SHINGLE_BROADCAST_BYTES = 512 * 1024 * 1024
 
 
-def _csr_intersections(hv, offs, cnts, ia, ib):
-    """Per-pair |Sa ∩ Sb| over CSR shingle segments (segments sorted
-    unique).  intersect1d(assume_unique) on the two short sorted runs
-    beats any global sort: measured ~13µs/pair at ~200 shingles/doc."""
-    inter = np.empty(len(ia), dtype=np.int64)
-    for p in range(len(ia)):
-        a, b = ia[p], ib[p]
-        inter[p] = len(
-            np.intersect1d(
-                hv[offs[a]: offs[a] + cnts[a]],
-                hv[offs[b]: offs[b] + cnts[b]],
-                assume_unique=True,
-            )
-        )
-    return inter
+def _csr_ranks(hv) -> tuple[np.ndarray, int]:
+    """Dense int32 ranks of a CSR hash buffer (and the distinct count).
+    One np.unique over the dictionary — computed once per corpus (and
+    shipped inside the verify broadcast), not per batch."""
+    uniq, inv = np.unique(hv, return_inverse=True)
+    return inv.astype(np.int32), len(uniq)
+
+
+def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks):
+    """Batch |Sa ∩ Sb| over CSR shingle-RANK segments (per-doc sorted
+    unique), vectorized across pairs.
+
+    Pairs are grouped by their left doc; per distinct left doc a, its
+    rank set is marked in a reusable dense bool bitmap (n_ranks entries
+    — the corpus dictionary fits executor memory by the same budget
+    that allowed broadcasting it), then ALL right-side segments of a's
+    pairs test membership with one fancy-index and count with one
+    reduceat.  Measured 3.6us/pair vs 10.4us for a per-pair
+    intersect1d loop and >20us for a global composite-key sort (the
+    sort touches sum(|Sa|+|Sb|) elements; this touches sum(|Sb|), and
+    the bitmap stays cache-resident).
+    """
+    P = len(ia)
+    if P == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(ia, kind="stable")
+    ia_s, ib_s = ia[order], ib[order]
+    cb = cnts[ib_s]
+    tot_b = int(cb.sum())
+    ke = np.concatenate([[0], np.cumsum(cb)[:-1]])
+    idx_b = (np.arange(tot_b, dtype=np.int64)
+             - np.repeat(ke, cb) + np.repeat(offs[ib_s], cb))
+    br = ranks[idx_b]
+    bitmap = np.zeros(n_ranks, dtype=bool)
+    inter = np.empty(P, dtype=np.int64)
+    runs = np.flatnonzero(np.concatenate([[True], ia_s[1:] != ia_s[:-1]]))
+    runs_end = np.concatenate([runs[1:], [P]])
+    pos = np.concatenate([[0], np.cumsum(cb)])
+    for s, e in zip(runs, runs_end):
+        a = ia_s[s]
+        ra = ranks[offs[a]: offs[a] + cnts[a]]
+        bitmap[ra] = True
+        seg = br[pos[s]: pos[e]]
+        hit = bitmap[seg]
+        inter[s:e] = np.add.reduceat(hit, (pos[s:e] - pos[s]).astype(np.int64))
+        bitmap[ra] = False
+    out = np.empty(P, dtype=np.int64)
+    out[order] = inter
+    return out
+
+
+def _collect_corpus_csr(docs: DataFrame, text_col: str, id_col: str
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Corpus shingle sets as driver-side CSR (doc_ids sorted asc,
+    hashes, offsets, counts), shingled ON THE EXECUTORS.
+
+    Each partition emits one row of concatenated per-doc hash arrays;
+    the driver stitches the partitions with pure array ops via a
+    zero-copy Arrow fetch — no serial re-shingle, no per-doc Python.
+    """
+    def kern(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hv, offs, cnts = _batch_shingle_hashes(list(pdf[text_col]))
+            yield pd.DataFrame({
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64)],
+                "hv": [hv.astype(np.int64)],
+                "cnts": [cnts],
+            })
+
+    tbl = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(kern, "ids array<long>, hv array<long>, cnts array<long>")
+        .toArrow()
+    )
+
+    def _flat(name):
+        col = tbl[name].combine_chunks()
+        return col.flatten().to_numpy(zero_copy_only=False)
+
+    ids = _flat("ids").astype(np.int64)
+    hv = _flat("hv").astype(np.uint64)
+    cnts = _flat("cnts").astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    # ragged gather: reorder the CSR segments into doc_id order
+    cnts_o = cnts[order]
+    offs_o = np.concatenate([[0], np.cumsum(cnts_o)[:-1]]).astype(np.int64)
+    ke = offs_o.copy()
+    tot = int(cnts_o.sum())
+    idx = (np.arange(tot, dtype=np.int64)
+           - np.repeat(ke, cnts_o) + np.repeat(offs[order], cnts_o))
+    return ids[order], hv[idx], offs_o, cnts_o
 
 
 def _verify_schema():
@@ -360,28 +494,42 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     # 16 B/row it is trivial.
     cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id",
                          max_bucket=max_bucket)
+    # spread the verify against AQE's advisory-size coalescing (pairs
+    # are 16 B/row); measured: keeping this shuffle still wins with the
+    # vectorized verify (3.41 vs 3.71 s at bench scale)
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
-    # route on Catalyst's plan-size estimate (free — no extra scan job);
-    # shingle hashes are ~8 bytes per char, so ~8x the raw text bytes.
     # Routing is a pure performance choice — both verify paths produce
-    # identical output — so an estimation error is never a correctness
-    # bug, and overestimation just takes the always-safe distributed
-    # path.  Falls back to an exact sum(length) job if plan stats are
-    # unavailable.
+    # identical output — but a ROUTING overestimate must never collect
+    # an over-budget corpus to the driver.  Catalyst's plan-size
+    # estimate for a file source is COMPRESSED on-disk bytes, and
+    # snappy/zstd text compresses 2-10x, so the free estimate alone
+    # could under-report true shingle bytes (~8 x chars) past the
+    # budget.  Two-step route: if even 16x the plan estimate fits, the
+    # corpus is safely small (no extra job — text never compresses
+    # 16x); otherwise spend one cheap column-scan job on the EXACT
+    # sum(length) before deciding.
     try:
-        est = 8 * int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        plan_est = 8 * int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
+        plan_est = None
+    if plan_est is not None and plan_est * 16 <= max_shingle_broadcast_bytes:
+        est = plan_est
+    else:
         est = int(docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()["b"] or 0)
     if est <= max_shingle_broadcast_bytes:
-        rows = docs.select(F.col(id_col), F.col(text_col)).collect()
-        doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        hv, offs, cnts = _batch_shingle_hashes([str(rows[i][1]) for i in order])
-        bc = spark.sparkContext.broadcast((doc_ids, hv, offs, cnts))
+        # shingle DISTRIBUTED (executors run the same vectorized batch
+        # kernel the signature stage uses), then collect only the CSR
+        # hash arrays via Arrow — the driver never re-shingles the
+        # corpus serially (at the 512 MB budget that serial pass would
+        # cost ~minutes; collecting ~8 B/shingle is one Arrow fetch)
+        doc_ids, hv, offs, cnts = _collect_corpus_csr(docs, text_col, id_col)
+        # ship dense RANKS, not raw hashes: the bitmap verify kernel
+        # only needs rank identity, and int32 ranks halve the broadcast
+        ranks, n_ranks = _csr_ranks(hv)
+        bc = spark.sparkContext.broadcast((doc_ids, ranks, offs, cnts, n_ranks))
 
         def verify_bc(it):
-            ids_s, hv_b, offs_b, cnts_b = bc.value
+            ids_s, ranks_b, offs_b, cnts_b, nr = bc.value
             for pdf in it:
                 if len(pdf) == 0:
                     yield _verify_schema()
@@ -390,7 +538,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
                 bb = pdf["b"].to_numpy(dtype=np.int64)
                 ia = np.searchsorted(ids_s, aa)
                 ib = np.searchsorted(ids_s, bb)
-                inter = _csr_intersections(hv_b, offs_b, cnts_b, ia, ib)
+                inter = _csr_intersections(ranks_b, offs_b, cnts_b, ia, ib, nr)
                 union = cnts_b[ia] + cnts_b[ib] - inter
                 jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
                 keep = jac >= jaccard_threshold
@@ -418,9 +566,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
             uniq, first = np.unique(ids, return_index=True)
             texts_cat = pd.concat([pdf["ta"], pdf["tb"]], ignore_index=True)
             hv, offs, cnts = _batch_shingle_hashes(list(texts_cat.iloc[first]))
+            ranks, n_ranks = _csr_ranks(hv)
             ia = np.searchsorted(uniq, aa)
             ib = np.searchsorted(uniq, bb)
-            inter = _csr_intersections(hv, offs, cnts, ia, ib)
+            inter = _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks)
             union = cnts[ia] + cnts[ib] - inter
             jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
             keep = jac >= jaccard_threshold

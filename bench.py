@@ -201,25 +201,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # min-of-3 by default: the first repetition also warms per-layer
+    # min-of-5 by default: the first repetition also warms per-layer
     # artifacts (prefilter covers memo) exactly as a long-lived job
-    # would, and the extra repeat guards against this box's documented
-    # run-to-run noise (±50%; see BASELINE.md methodology)
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    # would, and the extra repeats guard against this box's documented
+    # run-to-run noise (individual reps observed 3.8s..32s for the SAME
+    # query in one process — extrinsic host contention; min-of-5 keeps
+    # the recorded number at the reproducible fast mode, min-of-3 was a
+    # dice roll; see BASELINE.md methodology)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
     only = {
         q.strip()
         for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if q.strip()
     }
 
+    debug_reps = os.environ.get("SPARK_GRAFT_BENCH_DEBUG") == "1"
+
     def timed(name, fn):
         if only and name not in only:
             return None
         best = float("inf")
+        reps = []
         for _ in range(repeat):
             t0 = time.time()
             out = fn()
-            best = min(best, time.time() - t0)
+            reps.append(round(time.time() - t0, 3))
+            best = min(best, reps[-1])
+        if debug_reps:
+            print(f"# {name} reps: {reps}", file=sys.stderr)
         timings[name] = round(best, 3)
         return out
 
@@ -302,11 +311,15 @@ def main() -> None:
     # with low-similarity candidates at 500k docs.  The repartition
     # spreads the signature kernel across cores: the sf0.1 table is one
     # parquet split, which would serialize the whole stage on one task
-    # (production corpora arrive in thousands of splits).
+    # (production corpora arrive in thousands of splits).  One
+    # partition per core: the batch-vectorized signature kernel gains
+    # more from bigger Arrow batches than from finer scheduling, and
+    # each extra mapInPandas task costs ~100ms fixed (measured; see
+    # BASELINE.md methodology).
     timed(
         "minhash",
         lambda: minhash_lsh_pairs(
-            docs.repartition(4 * cpus), num_perm=128, bands=32, jaccard_threshold=0.5
+            docs.repartition(cpus), num_perm=128, bands=32, jaccard_threshold=0.5
         ).count(),
     )
 
