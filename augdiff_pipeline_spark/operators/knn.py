@@ -126,13 +126,17 @@ def knn_join(
                     cand_idx = np.concatenate([cand_idx, _gather_cells(fcell, ring)])
                     if len(cand_idx) >= k:
                         # safe radius covered so far: (r) rings beyond own cell
-                        # guarantee distance >= (r)*cell_min for ring r+1
+                        # guarantee distance >= (r)*cell_min for ring r+1.
+                        # STRICT inequality: an unseen feature can sit at
+                        # exactly the bound (grid-aligned layouts) and win
+                        # the (dist, feature_id) tie-break — ties defer to
+                        # the next ring instead of claiming proven.
                         safe = (r * cell_min) ** 2
                         dx = fx[cand_idx][None, :] - plon[:, None]
                         dy = fy[cand_idx][None, :] - plat[:, None]
                         d2 = dx * dx + dy * dy
                         kth = np.sort(d2, axis=1)[:, min(k, d2.shape[1]) - 1]
-                        if (kth <= safe).all():
+                        if (kth < safe).all():
                             proven = True
                             break
                         d2 = None
@@ -216,8 +220,11 @@ def _score_topk(cand: DataFrame, k: int, safe_sq: float | None):
     if safe_sq is None:
         proven = ranked.select("image_id").distinct()
     else:
+        # strict <: a k-th candidate at EXACTLY the safe bound can tie
+        # with an unseen feature that would win the (dist, feature_id)
+        # tie-break — defer ties to a later round (negligible cost)
         proven = (
-            ranked.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe_sq)))
+            ranked.filter((F.col("_cnt") >= k) & (F.col("_kth") < F.lit(safe_sq)))
             .select("image_id")
             .distinct()
         )
@@ -296,10 +303,15 @@ def knn_join_shuffle(
     - Later rounds r in {3, 7, 15}: only the unproven remainder (tiny
       in practice) explodes image-side into its (2r+1)^2 disk cells
       and equi-joins the bucketed features.
-    - Exhaustive tail: anything still unproven (sparse layouts /
-      fewer than k features) cross-joins the full feature table —
-      exactness is never traded for the bound, matching the broadcast
-      kernel's full-scan fallback.
+    - Guarded tail: anything still unproven (sparse layouts / fewer
+      than k features) continues with GEOMETRICALLY DOUBLING disk
+      radii, each realized as a broadcast-nested-loop join: the
+      remainder is COUNTED, hash-sliced to the broadcast budget if
+      needed, broadcast, and joined to the streamed feature table
+      under a Chebyshev-box predicate — the feature table is filtered
+      at scan time and NEVER cross-joined (no CartesianProduct node;
+      plan-tested).  The final round's box provably covers the whole
+      grid, so exactness is never traded for the bound.
 
     Rankings use the same squared-planar-degree distance and
     (dist, feature_id) tie-break as every other engine twin.
@@ -379,12 +391,55 @@ def knn_join_shuffle(
         parts.append(topk)
         remaining = remaining.join(proven, "image_id", "left_anti").localCheckpoint(eager=True)
 
-    if not remaining.isEmpty():
-        cand = remaining.select("image_id", "lon", "lat").crossJoin(
-            feats_b.select("feature_id", "flon", "flat")
+    # guarded tail: doubling-radius broadcast-nested-loop rounds.  The
+    # unproven remainder exists precisely when the feature side was too
+    # big to broadcast, so a plain crossJoin(features) here would be a
+    # remainder x 100-TB cartesian.  Instead each round broadcasts the
+    # (counted, sliced-to-budget) remainder and streams the feature
+    # table once under a Chebyshev-box join predicate — candidates are
+    # filtered AT THE SCAN, and the box eventually covers the grid, at
+    # which point everything ranks as proven (safe=None).
+    feats_box = feats.select("feature_id", "flon", "flat", "_fix", "_fiy")
+    tail_r = rounds[-1]
+    max_tail_broadcast_rows = 2_000_000  # ~80 MB of (id, lon, lat, ix, iy)
+    while not remaining.isEmpty():
+        # x4 growth: each tail round streams the feature table once, so
+        # fewer/larger rounds beat doubling (worst-case scan count is
+        # log4(n_side) ~ 9 at res 22) while the box area overshoots the
+        # minimal proving radius by at most 16x
+        tail_r = min(4 * tail_r + 3, n_side)
+        covers = tail_r >= n_side  # box [-r, r] spans every cell index
+        safe = None if covers else (tail_r * cell_min) ** 2
+        cnt = remaining.count()
+        n_slices = max(1, -(-cnt // max_tail_broadcast_rows))
+        box = (
+            (F.abs(F.col("_fix") - F.col("_ix")) <= F.lit(tail_r))
+            & (F.abs(F.col("_fiy") - F.col("_iy")) <= F.lit(tail_r))
         )
-        topk, _ = _score_topk(cand, k, None)
-        parts.append(topk)
+        new_proven = []
+        for s in range(n_slices):
+            part = (
+                remaining if n_slices == 1
+                else remaining.filter(
+                    F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_slices)) == s
+                )
+            )
+            cand = F.broadcast(
+                part.select("image_id", "lon", "lat", "_ix", "_iy")
+            ).join(feats_box, box).select(
+                "image_id", "lon", "lat", "feature_id", "flon", "flat"
+            )
+            topk, proven = _score_topk(cand, k, safe)
+            parts.append(topk)
+            new_proven.append(proven)
+        if covers:
+            break
+        proven_all = new_proven[0]
+        for p in new_proven[1:]:
+            proven_all = proven_all.unionByName(p)
+        remaining = remaining.join(
+            proven_all, "image_id", "left_anti"
+        ).localCheckpoint(eager=True)
 
     out = parts[0]
     for p in parts[1:]:

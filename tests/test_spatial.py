@@ -307,3 +307,52 @@ def test_knn_shuffle_sparse_and_small_feature_table(spark):
     )
     got2 = knn_join_shuffle(one, feats2, k=5, res=10).toPandas().sort_values("knn_rank")
     assert got2["feature_id"].tolist() == [7, 8]
+
+
+def test_knn_shuffle_tail_never_cartesian(spark):
+    """The guarded tail exists precisely when the feature side is too
+    big to broadcast, so it must NEVER plan a CartesianProduct against
+    the feature table: a sparse image cluster far from every feature
+    (unproven through all scheduled rounds) must resolve through
+    broadcast-nested-loop box-join rounds, and still match brute
+    force."""
+    from augdiff_pipeline_spark.operators.knn import knn_join_shuffle
+
+    rng = np.random.default_rng(7)
+    # images clustered at (0, 0); features far away at (90, 40) —
+    # nothing within the scheduled disk rounds at res 10
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "image_id": [f"p{i}" for i in range(40)],
+            "lon": rng.uniform(-0.05, 0.05, 40),
+            "lat": rng.uniform(-0.05, 0.05, 40),
+        })
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame({
+            "feature_id": np.arange(50, dtype=np.int64),
+            "lon": 90.0 + rng.uniform(0, 0.1, 50),
+            "lat": 40.0 + rng.uniform(0, 0.1, 50),
+        })
+    )
+    out = knn_join_shuffle(pts, feats, k=3, res=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    got = out.toPandas().sort_values(["image_id", "knn_rank"]).reset_index(drop=True)
+    pp = pts.toPandas()
+    ff = feats.toPandas()
+    rows = []
+    for _, p in pp.iterrows():
+        d2 = (ff["lon"] - p["lon"]) ** 2 + (ff["lat"] - p["lat"]) ** 2
+        top = sorted(zip(d2, ff["feature_id"]))[:3]
+        rows += [
+            {"image_id": p["image_id"], "feature_id": int(f), "knn_rank": r + 1,
+             "dist_sq_deg": d}
+            for r, (d, f) in enumerate(top)
+        ]
+    want = (
+        pd.DataFrame(rows)
+        .sort_values(["image_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
