@@ -101,26 +101,60 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+def _block_bins(size: int, out: int) -> tuple[np.ndarray, np.ndarray]:
+    """(start, end) index bins for block-mean pooling ``size`` -> ``out``
+    (end clamped to at least start+1 so upsampling never hits an empty
+    block)."""
+    edges = (np.arange(out + 1) * size) // out
+    y0 = edges[:-1]
+    y1 = np.maximum(edges[1:], y0 + 1)
+    return y0, y1
+
+
+def _block_means(stack: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w[, c]) float64 -> (n, out_h, out_w[, c]) block means via
+    batched integral images — one cumsum pass + four fancy gathers, no
+    per-pixel Python.  Used by both the batch kernels and the scalar
+    wrappers (n=1), so scalar and batched results agree by
+    construction."""
+    squeeze_c = stack.ndim == 3
+    if squeeze_c:
+        stack = stack[..., None]
+    n, h, w, c = stack.shape
+    y0, y1 = _block_bins(h, out_h)
+    x0, x1 = _block_bins(w, out_w)
+    csum = np.zeros((n, h + 1, w + 1, c), dtype=np.float64)
+    csum[:, 1:, 1:] = stack.cumsum(axis=1).cumsum(axis=2)
+    blocks = (
+        csum[:, y1][:, :, x1]
+        - csum[:, y0][:, :, x1]
+        - csum[:, y1][:, :, x0]
+        + csum[:, y0][:, :, x0]
+    )
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    blocks /= area[None, :, :, None]
+    return blocks[..., 0] if squeeze_c else blocks
+
+
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Batched 64-bit average perceptual hash over a (n, h, w, 3) uint8
+    stack -> (n,) int64.  Same aHash scheme as ``phash64``: 8x8
+    block-mean grayscale, threshold at the mean, row-major bit packing
+    (first bit most significant)."""
+    g = stack.astype(np.float64).mean(axis=3)
+    blocks = _block_means(g, 8, 8)
+    bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(len(stack), 64), axis=1)
+    return packed.view(">u8").astype(np.uint64).view(np.int64).ravel()
+
+
 def phash64(arr: np.ndarray) -> int:
     """64-bit average perceptual hash: 8x8 block-mean grayscale,
-    threshold at the mean, row-major bit packing (public aHash scheme)."""
-    g = arr.astype(np.float64).mean(axis=2)
-    h, w = g.shape
-    # block-mean resize to 8x8 via integral sums over uniform index bins
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
-    bits = (blocks > blocks.mean()).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
-    # keep it in signed-int64 range for a Spark LongType column
-    if val >= 1 << 63:
-        val -= 1 << 64
-    return val
+    threshold at the mean, row-major bit packing (public aHash scheme).
+    Delegates to the batched kernel (n=1) so scalar callers — the
+    pinned-golden oracles recompute with THIS function — always agree
+    bit-for-bit with the Spark batch path."""
+    return int(phash64_batch(arr[None, ...])[0])
 
 
 def hamming64(a: int, b: int) -> int:

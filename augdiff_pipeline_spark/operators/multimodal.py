@@ -27,43 +27,80 @@ from pyspark.sql import functions as F
 from . import images as imgcodec
 
 # ------------------------------------------------------------------ images
+def resize_block_mean_batch(stack: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Batched deterministic block-mean resize (area interpolation) of a
+    (n, h, w, 3) uint8 stack — one integral-image pass, no per-pixel
+    Python (the scalar form paid a double Python loop per OUTPUT
+    pixel)."""
+    blocks = imgcodec._block_means(stack.astype(np.float64), out_h, out_w)
+    return np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+
+
 def resize_block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic block-mean resize (area interpolation), pure numpy."""
-    h, w, c = arr.shape
-    ys = (np.arange(out_h + 1) * h) // out_h
-    xs = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w, c), dtype=np.float64)
-    csum = np.zeros((h + 1, w + 1, c), dtype=np.float64)
-    csum[1:, 1:] = arr.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            block = csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            out[i, j] = block / ((y1 - y0) * (x1 - x0))
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    """Deterministic block-mean resize (area interpolation), pure numpy.
+    Delegates to the batched kernel (n=1) so scalar callers (goldens,
+    tests) agree bit-for-bit with the Spark batch path."""
+    return resize_block_mean_batch(arr[None, ...], out_h, out_w)[0]
+
+
+def _features_for_stack(stack: np.ndarray, thumb: int):
+    """Vectorized feature block for one same-shape stack: (phash[],
+    mean_rgb[n,3], luma_std[n], thumbs[n,t,t,3])."""
+    n = len(stack)
+    means = stack.reshape(n, -1, 3).mean(axis=1)
+    luma = stack.astype(np.float64).mean(axis=3)
+    luma_std = luma.reshape(n, -1).std(axis=1)
+    ph = imgcodec.phash64_batch(stack)
+    thumbs = resize_block_mean_batch(stack, thumb, thumb)
+    return ph, means, luma_std, thumbs
 
 
 def image_features(images: DataFrame, thumb: int = 8) -> DataFrame:
-    """(image_id, phash, mean_r, mean_g, mean_b, luma_std, thumb_bytes)."""
+    """(image_id, phash, mean_r, mean_g, mean_b, luma_std, thumb_bytes).
+
+    Decode is inherently per-blob (the codec's entropy stage), but
+    everything after is batched: decoded arrays are grouped by shape,
+    stacked, and featured per stack (same strategy as
+    ``tiling.cut_tiles``) — phash/means/std/thumb all run as whole-stack
+    numpy passes instead of a per-image Python loop.
+    """
 
     def kernel(it):
         for pdf in it:
-            out = {"image_id": [], "phash": [], "mean_r": [], "mean_g": [],
-                   "mean_b": [], "luma_std": [], "thumb_bytes": []}
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                arr = imgcodec.decode(bytes(blob))
-                t = resize_block_mean(arr, thumb, thumb)
-                means = arr.reshape(-1, 3).mean(axis=0)
-                luma = arr.astype(np.float64).mean(axis=2)
-                out["image_id"].append(iid)
-                out["phash"].append(imgcodec.phash64(arr))
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
-                out["luma_std"].append(float(luma.std()))
-                out["thumb_bytes"].append(t.tobytes())
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({
+                    "image_id": pd.Series([], dtype="object"),
+                    "phash": pd.Series([], dtype="int64"),
+                    "mean_r": pd.Series([], dtype="float64"),
+                    "mean_g": pd.Series([], dtype="float64"),
+                    "mean_b": pd.Series([], dtype="float64"),
+                    "luma_std": pd.Series([], dtype="float64"),
+                    "thumb_bytes": pd.Series([], dtype="object"),
+                })
+                continue
+            arrs = [imgcodec.decode(bytes(b)) for b in pdf["bytes"]]
+            shapes = np.array([a.shape[:2] for a in arrs], dtype=np.int64)
+            ids = pdf["image_id"].to_numpy()
+            ph = np.empty(n, dtype=np.int64)
+            mean_rgb = np.empty((n, 3), dtype=np.float64)
+            lstd = np.empty(n, dtype=np.float64)
+            tbytes = np.empty(n, dtype=object)
+            for hw in np.unique(shapes, axis=0):
+                sel = np.flatnonzero((shapes == hw).all(axis=1))
+                stack = np.stack([arrs[i] for i in sel])
+                p, m, s, t = _features_for_stack(stack, thumb)
+                ph[sel] = p
+                mean_rgb[sel] = m
+                lstd[sel] = s
+                for j, i in enumerate(sel):
+                    tbytes[i] = t[j].tobytes()
+            yield pd.DataFrame({
+                "image_id": ids, "phash": ph,
+                "mean_r": mean_rgb[:, 0], "mean_g": mean_rgb[:, 1],
+                "mean_b": mean_rgb[:, 2], "luma_std": lstd,
+                "thumb_bytes": tbytes,
+            })
 
     return images.select("image_id", "bytes").mapInPandas(
         kernel,
@@ -103,10 +140,15 @@ def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
             out = {"video_id": [], "frame_no": [], "frame_phash": []}
             for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
                 frames = _decode_video(bytes(blob))
-                for fno in range(0, len(frames), every_n):
-                    out["video_id"].append(vid)
-                    out["frame_no"].append(fno)
-                    out["frame_phash"].append(imgcodec.phash64(frames[fno]))
+                fnos = np.arange(0, len(frames), every_n)
+                if len(fnos) == 0:
+                    continue
+                # all frames of one container share a shape: hash the
+                # sampled frames as one batched stack
+                hashes = imgcodec.phash64_batch(frames[fnos])
+                out["video_id"].extend([vid] * len(fnos))
+                out["frame_no"].extend(fnos.tolist())
+                out["frame_phash"].extend(hashes.tolist())
             yield pd.DataFrame(out)
 
     return videos.select("video_id", "bytes").mapInPandas(

@@ -284,6 +284,21 @@ def main() -> None:
         )
         extras["tile_cut_images_per_sec"] = round(slice_n / timings["tile_cut"], 1)
 
+        # e2e image feature extraction (decode -> phash/means/std/thumb,
+        # shape-stacked batch kernel) on the same slice — recorded as an
+        # extra so the headline suite stays round-over-round comparable
+        from augdiff_pipeline_spark.operators.multimodal import image_features
+
+        t0 = time.time()
+        image_features(img_slice).count()
+        best_feat = time.time() - t0
+        for _ in range(repeat - 1):
+            t0 = time.time()
+            image_features(img_slice).count()
+            best_feat = min(best_feat, time.time() - t0)
+        extras["img_features_sec"] = round(best_feat, 3)
+        extras["img_features_images_per_sec"] = round(slice_n / best_feat, 1)
+
     # 4-6. relational spine on the driver tables
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
