@@ -659,30 +659,50 @@ def _band_splits(bits: int, bands: int) -> list[tuple[int, int]]:
 
 def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
                   max_hamming: int = 3,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  strategy: str = "auto") -> DataFrame:
     """(a, b, hamming) pairs of 64-bit hashes within ``max_hamming``
-    bits — the generic banded-hamming join (SimHash text dedup, phash
-    image dedup, any 64-bit fingerprint).
+    bits — the generic hamming join (SimHash text dedup, phash image
+    dedup, any 64-bit fingerprint).  Both strategies are LOSSLESS
+    (pigeonhole candidate stage + exact XOR verify): output is exactly
+    the brute-force pair set (DuckDB-oracle checkable).
 
-    bands = max_hamming + 1: by pigeonhole, any pair with hamming ≤
-    max_hamming has at least one band with ZERO differing bits, so the
-    band equi-join proposes every qualifying pair — the result is
-    exactly the brute-force pair set (DuckDB-oracle checkable).
+    strategy="banded" (auto for max_hamming <= 3): bands =
+    max_hamming + 1; any qualifying pair shares at least one exact
+    band.  One shuffle total: _bucket_pairs carries each side's hash
+    as payload, so the bit_count verify needs ZERO joins back to the
+    source.  At max_hamming 3 the bands are 16 bits (~65k keys) —
+    candidate volume ~n²/65536 per band.  But candidate volume grows
+    ~n²/2^(64/(h+1)): at max_hamming 6 the 7 bands have only ~512
+    keys each, quadratic at corpus scale.
 
-    One shuffle total: _bucket_pairs carries each side's hash value as
-    payload, so the bit_count verify needs ZERO joins back to the
-    source; the distinct runs after the (trivial) XOR verify and only
-    shuffles qualifying pairs.  NOTE the quadratic-at-scale trade-off
-    of wide max_hamming: hamming 6 means 7 bands of ~9 bits — only
-    ~512 distinct keys per band, and candidate volume grows ~n²/512.
-    At corpus scale keep max_hamming <= 3 (16-bit bands, ~65k
-    keys/band) or split-and-recurse (multi-index) — no join strategy
-    can shrink a quadratic candidate set.  ``max_bucket`` (None = exact,
-    the contract setting) drops larger-than-cap band buckets — the
-    corpus-scale guard against a degenerate key flooding the verify.
+    strategy="multi_index" (auto for max_hamming > 3): multi-index
+    hamming search (public scheme: Norouzi, Punjani & Fleet, "Fast
+    Search in Hamming Space with Multi-Index Hashing", CVPR 2012) —
+    4 bands of 16 bits, with the PROBE side exploded into the full
+    XOR-ball of radius r = ceil((max_hamming+1)/4) - 1 around each
+    band key.  Pigeonhole: if every band differed by more than r the
+    total would exceed 4(r+1)-1 >= max_hamming, so some band of a
+    qualifying pair matches one probe variant exactly.  At
+    max_hamming 6 this keeps the 65k-key bands (candidates
+    ~n² x 4 x 17/65536 ~ n²/1000, vs n²/73 banded) at the cost of a
+    17x probe-side row explosion — the standard volume-for-selectivity
+    trade, and the non-quadratic path for wide radii.
+
+    ``max_bucket`` (None = exact, the contract setting) drops
+    larger-than-cap key buckets — the corpus-scale guard against a
+    degenerate hot key flooding the verify (bucket size is measured on
+    the EXACT side before any probe explosion).
     """
     if max_hamming >= 64:
         raise ValueError("max_hamming must be < 64")
+    if strategy not in ("auto", "banded", "multi_index"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "multi_index" if max_hamming > 3 else "banded"
+    if strategy == "multi_index":
+        return _hamming_pairs_multi_index(rows, hash_col, id_col,
+                                          max_hamming, max_bucket)
     bands = max_hamming + 1
     banded = rows.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_hv"),
@@ -699,6 +719,98 @@ def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
     ).select("_id", "_hv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     cand = _bucket_pairs(banded, ["band", "key"], "_id",
                          max_bucket=max_bucket, payload_col="_hv", dedupe=False)
+    return (
+        cand.select(
+            "a", "b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of popcount 0..radius over ``width`` bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, radius + 1):
+        for bits in combinations(range(width), k):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _mih_candidates(rows: DataFrame, hash_col: str, id_col: str,
+                    max_hamming: int, max_bucket: int | None,
+                    bands: int = 4) -> DataFrame:
+    """Multi-index hamming candidate pairs (a, b, pa, pb), a < b —
+    may contain duplicates and false positives; callers XOR-verify and
+    distinct.  See ``hamming_pairs`` for the scheme and citation."""
+    radius = -(-(max_hamming + 1) // bands) - 1
+    splits = _band_splits(64, bands)
+    if radius > 3:
+        raise ValueError(
+            f"multi_index probe radius {radius} explodes combinatorially "
+            "(C(16,4)+ variants per band) — use more bands or the banded strategy"
+        )
+    base = rows.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hv"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), off)
+                    .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
+                )
+                for i, (off, w) in enumerate(splits)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_hv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        hot = (
+            base.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket).select("band", "key")
+        )
+        base = base.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # probe side: explode each band key into its XOR ball.  Band widths
+    # can differ by 1 bit (64/bands remainder); masks are generated for
+    # the widest band and filtered per band by key-domain validity.
+    widths = [w for _, w in splits]
+    probe = base.select(
+        "_id", "_hv", "band",
+        F.explode(F.array(*[
+            F.col("key").bitwiseXOR(F.lit(m))
+            for m in _ball_masks(max(widths), radius)
+        ])).alias("key"),
+    )
+    if len(set(widths)) > 1:
+        dom = F.array(*[F.lit((1 << w) - 1) for w in widths])
+        probe = probe.filter(
+            F.col("key").bitwiseAND(
+                F.bitwise_not(F.element_at(dom, F.col("band") + 1))
+            ) == 0
+        )
+    # XOR symmetry: if band i of (x, y) differs by mask m (|m| <= r),
+    # the match fires in BOTH directions (x exact vs y's ball and vice
+    # versa) — keeping only l < r halves candidate volume losslessly
+    j = base.alias("l").join(
+        probe.alias("r"),
+        (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")),
+    ).filter(F.col("l._id") < F.col("r._id"))
+    return j.select(
+        F.col("l._id").alias("a"), F.col("r._id").alias("b"),
+        F.col("l._hv").alias("pa"), F.col("r._hv").alias("pb"),
+    )
+
+
+def _hamming_pairs_multi_index(rows: DataFrame, hash_col: str, id_col: str,
+                               max_hamming: int,
+                               max_bucket: int | None) -> DataFrame:
+    _require_integral(rows, id_col, "hamming_pairs[multi_index]")
+    cand = _mih_candidates(rows, hash_col, id_col, max_hamming, max_bucket)
     return (
         cand.select(
             "a", "b",

@@ -125,6 +125,86 @@ def test_simhash_pairs_equal_brute_force(spark, docs):
         assert got == want, mh
 
 
+def test_hamming_multi_index_exact_and_fewer_candidates(spark):
+    """Wide-radius hamming: the multi-index strategy (probe-ball
+    enumeration over 16-bit bands) must (a) reproduce the brute-force
+    pair set exactly — both strategies are pigeonhole-lossless — and
+    (b) propose STRICTLY FEWER candidates than the banded strategy on
+    a skewed near-dup cluster, which is its reason to exist: at
+    max_hamming 6 the banded path's ~9-bit bands collide ~n²/512."""
+    from augdiff_pipeline_spark.operators.dedup import (
+        _band_splits, _bucket_pairs, _mih_candidates, hamming_pairs)
+
+    rng = np.random.default_rng(11)
+    # skewed fixture: 3 clusters of 60 hashes, each within hamming <=3
+    # of its center (flip 0-3 random bits), plus 80 uniform randoms
+    rows = []
+    hid = 0
+    for c in range(3):
+        center = int(rng.integers(0, 1 << 63))
+        for _ in range(60):
+            h = center
+            for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+                h ^= 1 << int(b)
+            rows.append((hid, h - (1 << 64 if h >= 1 << 63 else 0)))
+            hid += 1
+    for _ in range(80):
+        h = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        rows.append((hid, h - (1 << 64 if h >= 1 << 63 else 0)))
+        hid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["hash_id", "hv"]))
+
+    hs = dict(rows)
+    ids = sorted(hs)
+    mh = 6
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((hs[a] ^ hs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= mh
+    }
+    assert len(want) > 100  # the fixture is genuinely clustered
+    for strat in ("banded", "multi_index"):
+        got = {
+            (r["a"], r["b"])
+            for r in hamming_pairs(df, "hv", "hash_id", max_hamming=mh,
+                                   strategy=strat).collect()
+        }
+        assert got == want, strat
+
+    # candidate-volume comparison on a RANDOM corpus — the regime the
+    # multi-index strategy exists for: banded ~9-bit bands collide
+    # ~n²/512 per band on unrelated hashes, while 16-bit probe-ball
+    # bands collide ~17n²/65536 — ~4x fewer per band at radius 1
+    rng2 = np.random.default_rng(13)
+    big = [
+        (i, int(h) - (1 << 64 if h >= 1 << 63 else 0))
+        for i, h in enumerate(rng2.integers(0, 1 << 64, size=4000, dtype=np.uint64))
+    ]
+    bdf = spark.createDataFrame(pd.DataFrame(big, columns=["hash_id", "hv"]))
+    banded_rows = bdf.select(
+        F.col("hash_id").alias("_id"), F.col("hv").alias("_hv"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("hv"), off)
+                .bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
+            )
+            for i, (off, w) in enumerate(_band_splits(64, mh + 1))
+        ])).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    n_banded = _bucket_pairs(banded_rows, ["band", "key"], "_id",
+                             dedupe=False).count()
+    n_mih = _mih_candidates(bdf, "hv", "hash_id", mh, None).count()
+    assert n_mih < n_banded / 2, (n_mih, n_banded)
+    # both still exact on the random corpus
+    got_b = {(r["a"], r["b"]) for r in hamming_pairs(
+        bdf, "hv", "hash_id", max_hamming=mh, strategy="banded").collect()}
+    got_m = {(r["a"], r["b"]) for r in hamming_pairs(
+        bdf, "hv", "hash_id", max_hamming=mh, strategy="multi_index").collect()}
+    assert got_b == got_m
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(9)
