@@ -411,10 +411,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q21_hourly_rollup"] = q21
 
     def q22(spark, sf):
-        # contract config bands=32 (2 bits/band): candidate stage is
-        # dataset-verified recall-1.0 at sf0.001/0.01/0.1 (like q19's
-        # dataset-verified losslessness), so the refined output equals
-        # brute force and the q18-style oracle checks it end-to-end.
+        # CONTRACT config bands=32 over 64 bits = 2 bits/band = 4
+        # distinct keys per band: the candidate stage is intentionally
+        # NEAR-EXHAUSTIVE by construction (nearly every pair collides
+        # in some band), which is exactly what makes the output equal
+        # brute force (dataset-verified recall-1.0 at sf0.001/0.01/0.1)
+        # and lets the q18-style oracle check the full pipeline hash-
+        # for-hash.  It is CORRECTNESS evidence only — it says nothing
+        # about how the LSH *plan* prunes at scale.  The scale shape is
+        # the production config (bands=8, 8 bits/band, 256 keys): that
+        # is what the recall pytest bounds, and what a corpus-scale
+        # caller runs.
         # Production config (bands=8) trades recall for bucket volume
         # and is bounded by the recall pytest instead.
         return lsh_topk(

@@ -135,16 +135,21 @@ def lsh_topk(
     qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "band", "key"
     )
+    if max_bucket is not None:
+        # bucket size = MEMBERSHIP of (band, key) in sigs, measured
+        # BEFORE the query join (counting the joined result instead
+        # would give members x queries_in_bucket and silently drop
+        # under-cap buckets whenever several query ids share a band
+        # key) — same semantics as _bucket_pairs / cosine_pairs_lsh
+        sizes = sigs.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        qs = (
+            sizes.join(F.broadcast(qs), ["band", "key"])
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("query_id", "band", "key")
+        )
     joined = sigs.join(F.broadcast(qs), ["band", "key"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    if max_bucket is not None:
-        wb = Window.partitionBy("band", "key")
-        joined = (
-            joined.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
     cand = joined.select("query_id", "vec_id").distinct()
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(

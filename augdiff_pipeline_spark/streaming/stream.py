@@ -144,11 +144,14 @@ def deduplicated_event_stream(
     watermark horizon passes, re-deliveries drop — the streaming twin
     of ``operators.dedup.exact_dedup_groups``'s keep-first semantics.
 
-    Uses the NATIVE ``dropDuplicates`` stateful operator (RocksDB/HDFS
-    state store keyed by the id columns); the watermark bounds state:
-    keys older than the horizon are evicted, so state size tracks the
-    de-dup window, not the stream's lifetime — the only shape that
-    survives an unbounded stream.
+    Uses the NATIVE ``dropDuplicatesWithinWatermark`` stateful operator
+    (state store keyed by the id columns).  Plain ``dropDuplicates``
+    only evicts state when the event-time column is PART of the dedup
+    subset — with id-only keys its state grows for the stream's
+    lifetime.  The WithinWatermark variant implements exactly the
+    horizon-bounded semantics documented here: keys older than the
+    watermark are evicted, so state size tracks the dedup window, not
+    the stream — the only shape that survives an unbounded stream.
     """
     id_cols = id_cols or ["event_id"]
-    return events.withWatermark(ts, watermark).dropDuplicates(id_cols)
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(id_cols)

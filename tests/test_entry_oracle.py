@@ -59,11 +59,16 @@ def test_oracle_query(spark, con, name):
     assert_frames_equal(got, want, name)
 
 
-@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
-def test_rows_only_query_runs(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracle_backed():
+    """Since round 3 every contract query has a DuckDB oracle — there
+    is no rows-only tier left.  (This replaces a parametrized
+    rows-only runner whose parameter set became empty and showed up as
+    an unexplained '1 skipped' in the suite.)  If a future query is
+    added without an oracle, this assertion fails loudly instead of
+    silently weakening the correctness gate."""
+    assert set(ALL_QUERIES) == set(ORACLES), (
+        sorted(set(ALL_QUERIES) ^ set(ORACLES))
+    )
 
 
 def test_entry_smoke(spark):
