@@ -284,6 +284,98 @@ def change_batch_df(spark, seq: int):
     return spark.createDataFrame(change_batch_rows()[seq], OSM_SCHEMA)
 
 
+def soak_batch_rows(n_batches: int = 50) -> dict[int, list[tuple]]:
+    """Deterministic long-horizon change feed appended after the K=8
+    scenario batches — the reference's actual operating mode is an
+    unbounded minutely sequence (AugmentedDiff.scala:206-233), so soak
+    tests drive 50+ batches through the streaming path and assert the
+    compaction/expiry invariants hold at steady state.
+
+    Each batch: a filler-POI node move (rolling versions tracked across
+    the whole prior sequence); every 3rd batch additionally moves a
+    way-corner node (indirect way dirtiness); every 5th bumps a way's
+    tags; every 7th creates an ephemeral node that a later batch
+    tombstones.  Versions/coords continue from wherever
+    ``change_batch_rows`` left each entity, so the combined sequence is
+    a valid OSM history the pure-Python oracle replays identically.
+    """
+    prior = change_batch_rows()
+    start_seq = max(prior) + 1
+
+    # replay base + prior batches to learn current version/coords/state
+    ver: dict[tuple[int, str], int] = {}
+    coords: dict[int, tuple[float, float]] = dict(NODE_COORDS)
+    alive: dict[tuple[int, str], bool] = {}
+    ID, TYPE, LAT, LON, VERSION, VISIBLE = 1, 2, 4, 5, 12, 13
+    for r in base_state_rows():
+        ver[(r[ID], r[TYPE])] = r[VERSION]
+        alive[(r[ID], r[TYPE])] = True
+    for s in sorted(prior):
+        for r in prior[s]:
+            key = (r[ID], r[TYPE])
+            ver[key] = r[VERSION]
+            alive[key] = r[VISIBLE]
+            if r[TYPE] == "node" and r[LON] is not None:
+                coords[r[ID]] = (float(r[LON]), float(r[LAT]))
+
+    def bump(eid: int, etype: str) -> int:
+        key = (eid, etype)
+        ver[key] = ver.get(key, 0) + 1
+        alive[key] = True
+        return ver[key]
+
+    way_corners = [nid for nid in (SQ2 + RD) if alive.get((nid, "node"), False)]
+    ephemeral: list[int] = []  # created, not yet tombstoned
+    out: dict[int, list[tuple]] = {}
+    for i in range(n_batches):
+        seq = start_seq + i
+        t = lambda m: _ts(seq + 1, m)  # noqa: E731 — per-batch timestamps
+        rows: list[tuple] = []
+        # steady POI churn: move one filler node a deterministic nudge
+        nid = FILLER[i % len(FILLER)]
+        lon, lat = coords[nid]
+        lon, lat = round(lon + 0.0001, 7), round(lat + 0.00007, 7)
+        coords[nid] = (lon, lat)
+        rows.append(_node_row(nid, bump(nid, "node"), t(0), lon=lon, lat=lat))
+        if i % 3 == 0:
+            cid = way_corners[(i // 3) % len(way_corners)]
+            lon, lat = coords[cid]
+            lon, lat = round(lon + 0.00005, 7), round(lat + 0.00005, 7)
+            coords[cid] = (lon, lat)
+            rows.append(_node_row(cid, bump(cid, "node"), t(1), lon=lon, lat=lat))
+        if i % 5 == 0:
+            # way 2001 stays visible through the whole prior sequence —
+            # resurrection-of-a-deleted-way (e.g. 2002, tombstoned at
+            # seq 4) has undefined before-geometry semantics in the
+            # reference (empty nds) and is deliberately not generated
+            wid = 2001
+            rows.append(
+                _way_row(
+                    wid, bump(wid, "way"), t(2), nds=WAYS[wid]["nds"],
+                    tags={"highway": "residential", "lanes": str(1 + i % 3)},
+                )
+            )
+        if i % 7 == 0:
+            new_id = 5000 + i
+            coords[new_id] = (round(10.005 + 0.0002 * i, 7), round(50.095 - 0.0001 * i, 7))
+            lon, lat = coords[new_id]
+            rows.append(
+                _node_row(new_id, bump(new_id, "node"), t(3), lon=lon, lat=lat,
+                          tags={"amenity": "bench"})
+            )
+            ephemeral.append(new_id)
+        if i % 7 == 3 and ephemeral:
+            gone = ephemeral.pop(0)
+            rows.append(_tombstone(gone, "node", bump(gone, "node"), t(4)))
+            alive[(gone, "node")] = False
+        out[seq] = rows
+    return out
+
+
+def soak_batch_df(spark, rows: list[tuple]):
+    return spark.createDataFrame(rows, OSM_SCHEMA)
+
+
 # -------------------------------------------------------------- image table
 CAPTION_WORDS = [
     "aerial", "view", "of", "the", "river", "bridge", "rooftop", "garden",

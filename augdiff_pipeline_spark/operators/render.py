@@ -104,6 +104,72 @@ def way_wkbs(way_hist: DataFrame, node_pts: DataFrame, mode: str) -> DataFrame:
     return agg.mapInPandas(kernel, "id long, wkb binary")
 
 
+def way_wkbs_both(way_hist: DataFrame, node_pts: DataFrame) -> DataFrame:
+    """(id, mode, wkb) for BOTH render modes in one explode+join+agg
+    pass — the per-batch pipeline derives its "after"/"before" way
+    tables by filtering this one checkpointed result instead of paying
+    the explode, broadcast join, sort-collect and Arrow kernel twice
+    (mode geometry differs only in which history row supplies nds and
+    which coordinate pair the node lookup yields).  mode: 'a' | 'b'.
+    Semantics per mode are identical to ``way_wkbs`` (same kernel)."""
+    after_r = F.coalesce(F.col("in_row"), F.col("before_row"))
+    before_r = F.col("before_row")
+    modes = way_hist.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("a").alias("mode"), after_r.alias("r")),
+                    F.struct(F.lit("b").alias("mode"), before_r.alias("r")),
+                ),
+                lambda s: s["r"].isNotNull(),
+            )
+        ).alias("mr"),
+    ).select("id", F.col("mr.mode").alias("mode"), F.col("mr.r").alias("r"))
+    exploded = modes.select(
+        "id", "mode",
+        F.col("r.tags").alias("tags"),
+        F.posexplode("r.nds").alias("pos", "nd"),
+    ).join(
+        F.broadcast(node_pts.select(
+            F.col("id").alias("nid"), F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")
+        )),
+        F.col("nd.ref") == F.col("nid"),
+        "left",
+    ).select(
+        "id", "mode", "tags", "pos",
+        F.when(F.col("mode") == "a", F.col("ax")).otherwise(F.col("bx")).alias("x"),
+        F.when(F.col("mode") == "a", F.col("ay")).otherwise(F.col("by")).alias("y"),
+    )
+    agg = exploded.groupBy("id", "mode").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "x", "y"))).alias("pts"),
+        F.first("tags").alias("tags"),
+    )
+
+    def kernel(it):
+        for pdf in it:
+            out_ids, out_modes, out_wkb = [], [], []
+            for wid, mode, pts, tags in zip(pdf["id"], pdf["mode"], pdf["pts"], pdf["tags"]):
+                xs = np.array([p["x"] for p in pts], dtype=np.float64)
+                ys = np.array([p["y"] for p in pts], dtype=np.float64)
+                out_ids.append(wid)
+                out_modes.append(mode)
+                if len(xs) == 0 or np.isnan(xs).any() or np.isnan(ys).any() or any(p["x"] is None for p in pts):
+                    out_wkb.append(None)
+                    continue
+                coords = np.stack([xs, ys], axis=1)
+                closed = len(coords) >= 2 and (coords[0] == coords[-1]).all()
+                tags_d = dict(tags) if tags is not None else {}
+                if is_area_py(tags_d) and closed and len(coords) >= 4:
+                    geom: core.Geometry = core.Polygon((coords,))
+                else:
+                    geom = core.LineString(coords)
+                out_wkb.append(wkb.dumps(geom))
+            yield pd.DataFrame({"id": out_ids, "mode": out_modes, "wkb": out_wkb})
+
+    return agg.mapInPandas(kernel, "id long, mode string, wkb binary")
+
+
 def relation_wkbs(
     rel_hist: DataFrame,
     node_pts: DataFrame,

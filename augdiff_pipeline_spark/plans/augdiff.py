@@ -55,13 +55,26 @@ def compute_batch_features(
         .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
     )
     rows = history.dedup_batch_union(rows)
-    nh, wh, rh = history.all_histories(rows)
+    nh, wh, rh = history.all_histories(rows)  # checkpointed inside
 
     node_pts = render.node_points(nh).localCheckpoint(eager=True)
-    way_a = render.way_wkbs(wh, node_pts, "after").localCheckpoint(eager=True)
-    way_b = render.way_wkbs(wh, node_pts, "before").localCheckpoint(eager=True)
-    rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
-    rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
+    # both way render modes in ONE explode/join/agg/kernel pass, then
+    # filter the single checkpointed result per mode — halves the
+    # heaviest per-batch chain (each mode previously paid its own
+    # explode + broadcast join + sort-collect + Arrow kernel + eager
+    # checkpoint, serialized back-to-back)
+    way_both = render.way_wkbs_both(wh, node_pts).localCheckpoint(eager=True)
+    way_a = way_both.filter(F.col("mode") == "a").select("id", "wkb")
+    way_b = way_both.filter(F.col("mode") == "b").select("id", "wkb")
+    # most minutely batches touch no relation (directly or transitively);
+    # skip both relation-DAG round loops outright when the relation
+    # history is empty — one cheap probe replaces ~4 per-mode jobs
+    if rh.isEmpty():
+        empty = spark.createDataFrame([], "id long, wkb binary")
+        rel_a, rel_b = empty, empty
+    else:
+        rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
+        rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
 
     node_a = _point_wkbs(node_pts, "ax", "ay")
     node_b = _point_wkbs(node_pts, "bx", "by")
@@ -129,6 +142,17 @@ def run_batch(
 
     with timer.time("index_append"):
         idx_snap = index.append(new_edges, summary={"seq": seq})
+        # compaction BEFORE the commit marker must carry this seq's tag,
+        # or a crash here would freeze the uncommitted edges into an
+        # untagged (= treated-as-committed) rollback target
+        from ..sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
+
+        cid = index.maybe_compact(
+            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            schema=INDEX_SCHEMA, summary={"seq": seq},
+        )
+        if cid is not None:
+            idx_snap = cid
     log.record_stage(spark, seq, "index_append", new_edges, output_snapshot=idx_snap)
 
     log.record_metric(spark, seq, "diff", "features", float(n_feats))

@@ -71,6 +71,21 @@ class LineageLog:
             mdf = spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA)
             self.metrics.append(mdf.coalesce(1), summary={"seq": seq})
             self._pending_metrics = []
+        # steady-state dir bound: one append per minutely batch would
+        # otherwise leave one directory per batch forever, and EVERY
+        # restart's committed_seqs() scan unions all of them.  The
+        # compaction lands after this seq's commit marker, so the tag is
+        # already-committed metadata (safe even if compaction crashes).
+        from ..sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
+
+        self.lineage.maybe_compact(
+            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            schema=LINEAGE_SCHEMA, summary={"seq": seq},
+        )
+        self.metrics.maybe_compact(
+            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            schema=METRICS_SCHEMA, summary={"seq": seq},
+        )
         return snap
 
     def record_metric(self, spark: SparkSession, seq: int, stage: str, metric: str, value: float) -> None:

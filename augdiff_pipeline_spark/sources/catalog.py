@@ -115,7 +115,7 @@ class SnapshotTable:
         return snap.snapshot_id
 
     def compact(self, spark: SparkSession, transform=None, writer_conf=None,
-                schema=None) -> int | None:
+                schema=None, summary: dict | None = None) -> int | None:
         """Rewrite the current snapshot's data dirs into ONE dir and
         commit it as a ``compact`` snapshot (reference parity: the
         augdiff job flushes + re-clusters its state every
@@ -127,6 +127,14 @@ class SnapshotTable:
         union before the rewrite.  Old dirs stay on disk for time
         travel until ``expire_snapshots`` reclaims them.  Returns the
         new snapshot id, or None when there is nothing to compact.
+
+        ``summary`` extends the compact snapshot's summary.  CRUCIAL for
+        crash safety: a compaction triggered by an as-yet-UNCOMMITTED
+        batch append must carry that batch's ``{"seq": n}`` tag — the
+        resume path (plans/runner._rollback_uncommitted) treats
+        untagged snapshots as committed, so an untagged compact snapshot
+        would freeze uncommitted rows into the rollback target and the
+        rerun would double-append them.
         """
         cur = self.current()
         if cur is None or len(cur.data_dirs) <= 1:
@@ -141,10 +149,28 @@ class SnapshotTable:
             operation="compact",
             data_dirs=[d],
             committed_at_ms=int(time.time() * 1000),
-            summary={"compacted_dirs": len(cur.data_dirs)},
+            summary={**(summary or {}), "compacted_dirs": len(cur.data_dirs)},
         )
         self._commit(snap)
         return snap.snapshot_id
+
+    def maybe_compact(self, spark: SparkSession, save_interval: int,
+                      keep_last: int, transform=None, writer_conf=None,
+                      schema=None, summary: dict | None = None) -> int | None:
+        """Compact + expire once the current snapshot exceeds
+        ``save_interval`` data dirs — the steady-state cadence every
+        append-per-batch table needs (reference: saveInterval=5 flush,
+        AugmentedDiff.scala:226-233).  Without it a long-horizon run
+        leaves one directory per minutely batch for every later read to
+        list and union: at a year of minutely batches that is ~500k
+        dirs — the read path, not storage, is what breaks."""
+        cur = self.current()
+        if cur is None or len(cur.data_dirs) <= save_interval:
+            return None
+        cid = self.compact(spark, transform=transform, writer_conf=writer_conf,
+                           schema=schema, summary=summary)
+        self.expire_snapshots(keep_last=keep_last)
+        return cid
 
     def expire_snapshots(self, keep_last: int = 10) -> list[str]:
         """Drop manifest entries older than the newest ``keep_last``

@@ -86,16 +86,16 @@ class StateTable:
             self._cluster(df), operation="append", summary={"seq": seq},
             writer_conf=self._writer_conf,
         )
-        cur = self.table.current()
-        if cur is not None and len(cur.data_dirs) > self.save_interval:
-            cid = self.table.compact(
-                df.sparkSession, transform=self._cluster,
-                writer_conf=self._writer_conf, schema=OSM_SCHEMA,
-            )
-            if cid is not None:
-                sid = cid
-            self.table.expire_snapshots(keep_last=self.keep_snapshots)
-        return sid
+        # the compact snapshot inherits the triggering seq tag: until the
+        # lineage commit marker lands this seq is uncommitted, and an
+        # untagged compact snapshot would become a bogus rollback target
+        # holding the uncommitted rows (crash here -> rerun -> doubles)
+        cid = self.table.maybe_compact(
+            df.sparkSession, self.save_interval, self.keep_snapshots,
+            transform=self._cluster, writer_conf=self._writer_conf,
+            schema=OSM_SCHEMA, summary={"seq": seq},
+        )
+        return cid if cid is not None else sid
 
     @staticmethod
     def _cluster(df: DataFrame) -> DataFrame:

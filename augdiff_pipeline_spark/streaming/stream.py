@@ -48,11 +48,18 @@ def stream_augdiff(
     index: SnapshotTable,
     log: LineageLog,
     out_dir: str,
+    max_files_per_trigger: int = 4,
 ):
-    """Start the streaming query; returns the StreamingQuery handle."""
+    """Start the streaming query; returns the StreamingQuery handle.
+
+    ``max_files_per_trigger=1`` reproduces the reference's granularity
+    exactly (one OSC file per micro-batch, AugmentedDiff.scala:206-222);
+    the default packs a few files per trigger for catch-up throughput —
+    the per-seq loop inside ``process`` commits each seq atomically
+    either way."""
     src = (
         spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(changes_dir)
     )
 

@@ -338,6 +338,52 @@ def main() -> None:
         ).count(),
     )
 
+    # steady-state streaming batch latency: drive the full augdiff
+    # micro-batch pipeline (closure -> point-lookup -> histories ->
+    # geometry -> emission -> snapshot commits, compaction+expiry live)
+    # over a synthetic minutely sequence and record the mean latency of
+    # the SECOND half — by then every table has been through at least
+    # one compact/expire cycle, so the number is the steady-state cost
+    # the reference's unbounded minutely mode would see, not warmup.
+    # One measurement (not min-of-N): each batch is itself a sample.
+    if not only or "stream_soak" in only:
+        import shutil
+        import tempfile
+
+        from augdiff_pipeline_spark.operators.closure import (
+            edges_from_rows,
+            transitive_closure,
+        )
+        from augdiff_pipeline_spark.plans.lineage import LineageLog
+        from augdiff_pipeline_spark.plans.runner import resume_and_run
+        from augdiff_pipeline_spark.sources.catalog import SnapshotTable
+        from augdiff_pipeline_spark.sources.state import StateTable
+
+        n_soak = int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "12"))
+        root = tempfile.mkdtemp(prefix="spark_graft_soak_")
+        try:
+            state = StateTable(root + "/state", save_interval=5, keep_snapshots=8)
+            index = SnapshotTable(root + "/index")
+            log = LineageLog(root + "/log")
+            base_df = fixtures.base_state_df(spark)
+            state.init(base_df)
+            index.overwrite(transitive_closure(edges_from_rows(base_df)))
+            batches = dict(fixtures.change_batch_rows())
+            batches.update(fixtures.soak_batch_rows(max(0, n_soak - len(batches))))
+            lat = []
+            for seq in sorted(batches)[:n_soak]:
+                bdf = fixtures.soak_batch_df(spark, batches[seq])
+                t0 = time.time()
+                resume_and_run(spark, state, index, log, root + "/out",
+                               {seq: lambda bdf=bdf: bdf})
+                lat.append(time.time() - t0)
+            steady = lat[len(lat) // 2:]
+            extras["stream_soak_batches"] = len(lat)
+            extras["stream_soak_steady_batch_sec"] = round(sum(steady) / len(steady), 3)
+            extras["stream_soak_p_max_sec"] = round(max(steady), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -35,6 +35,27 @@ def test_batch_index_closure_matches_oracle(spark):
     assert got == expected
 
 
+def test_incremental_closure_paths_agree(spark):
+    """The driver-side small-component closure (the minutely fast path,
+    reference ComputeIndexLocal shape) and the distributed doubling
+    fixpoint must produce identical (new_edges, all_edges) — forced by
+    routing the same batch through both via the size threshold."""
+    from augdiff_pipeline_spark.operators.closure import incremental_closure
+
+    base_df = fixtures.base_state_df(spark)
+    index_df = transitive_closure(edges_from_rows(base_df))
+    for seq in (0, 2, 5, 6):  # node/way edits, tombstones, new relations
+        batch = fixtures.change_batch_df(spark, seq)
+        out = {}
+        for label, thr in (("driver", 200_000), ("distributed", 0)):
+            ne, ae = incremental_closure(index_df, batch, small_component_edges=thr)
+            out[label] = (
+                {(r["a"], r["b"]) for r in ne.collect()},
+                {(r["a"], r["b"]) for r in ae.collect()},
+            )
+        assert out["driver"] == out["distributed"], f"seq {seq}"
+
+
 @pytest.fixture(scope="module")
 def pipeline_run(spark, tmp_path_factory):
     """Run all 8 batches once; share results across assertions."""

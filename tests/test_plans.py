@@ -158,6 +158,42 @@ def test_state_compaction_bounds_dirs_and_preserves_reads(spark, tmp_path):
     assert {r["id"] for r in fetched.collect()} <= {4005 >> 2, 8003 >> 2}
 
 
+def test_rollback_skips_uncommitted_compaction(spark, tmp_path):
+    """Crash AFTER an append that triggered compaction but BEFORE the
+    lineage commit marker: the compact snapshot carries the uncommitted
+    seq's tag, so resume must roll back past it — an untagged compact
+    snapshot would freeze the uncommitted rows into the rollback target
+    and the rerun would double-append them (every save_interval'th batch
+    is exposed; caught by the round-4 soak work)."""
+    from augdiff_pipeline_spark.plans.runner import _rollback_uncommitted
+    from augdiff_pipeline_spark.sources.state import StateTable
+
+    state = StateTable(str(tmp_path / "state"), save_interval=2, keep_snapshots=6)
+    state.init(fixtures.base_state_df(spark))
+    base_rows = state.read(spark).count()
+
+    def batch(seq):
+        return fixtures.base_state_df(spark).limit(4).withColumn(
+            "id", F.col("id") + F.lit(100000 * seq)
+        )
+
+    # seqs 1-2 commit; seq 3's append triggers compaction (3 dirs > 2)
+    # and then the "crash" happens before seq 3's commit marker
+    for seq in (1, 2, 3):
+        state.append_batch(batch(seq), seq=seq)
+    assert state.table.current().operation == "compact"
+    assert state.table.current().summary.get("seq") == 3  # tag present
+
+    _rollback_uncommitted(state.table, committed={1, 2})
+    # rolled back past BOTH the compact and the seq-3 append
+    assert state.read(spark).count() == base_rows + 2 * 4
+    # rerun of seq 3 lands exactly once
+    state.append_batch(batch(3), seq=3)
+    sdf = state.read(spark)
+    assert sdf.count() == base_rows + 3 * 4
+    assert sdf.select("id", "type", "version").distinct().count() == sdf.count()
+
+
 def test_orc_state_table_roundtrip_and_pruning(spark, tmp_path):
     """ORC storage parity (the reference is ORC end-to-end,
     OrcBackend.scala): same snapshot/cluster/lookup contract, reference

@@ -105,6 +105,76 @@ def test_streaming_rolls_back_partial_commit(spark, tmp_path):
         assert got == want, f"seq {seq}"
 
 
+def test_streaming_soak_long_horizon(spark, tmp_path):
+    """50+ minutely micro-batches (the reference's actual operating mode,
+    AugmentedDiff.scala:206-233) at the reference's 1-file-per-batch
+    granularity, with compaction + expiry live on every table.  Asserts
+    the steady-state invariants AND the full golden-oracle match at the
+    end — bounded metadata must never cost correctness:
+
+    - state table: <= save_interval+1 data dirs, <= keep+interval
+      manifest entries (S4 invariant), ditto index/lineage/metrics;
+    - every seq committed exactly once;
+    - every seq's emitted features equal the independent pure-Python
+      oracle's, including seqs whose state was compacted + expired away.
+    """
+    root = str(tmp_path)
+    changes_dir, ckpt = root + "/changes", root + "/ckpt"
+    # tight knobs so compaction + expiry churn constantly over the soak
+    state = StateTable(root + "/state", save_interval=5, keep_snapshots=8)
+    index = SnapshotTable(root + "/index")
+    log = LineageLog(root + "/log")
+    out_dir = root + "/out"
+
+    base_df = fixtures.base_state_df(spark)
+    state.init(base_df)
+    index.overwrite(transitive_closure(edges_from_rows(base_df)))
+
+    batches = dict(fixtures.change_batch_rows())
+    batches.update(fixtures.soak_batch_rows(41))  # 9 + 41 = 50 seqs
+    for seq in sorted(batches):
+        write_change_file(
+            spark, fixtures.soak_batch_df(spark, batches[seq]), seq, changes_dir
+        )
+
+    q = stream_augdiff(spark, changes_dir, ckpt, state, index, log, out_dir,
+                       max_files_per_trigger=1)
+    q.awaitTermination(1800)
+    assert log.committed_seqs(spark) == sorted(batches)
+
+    # steady-state metadata bounds (S4 invariant + its index/lineage twins)
+    from augdiff_pipeline_spark.sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
+
+    for tbl, si, keep in [
+        (state.table, state.save_interval, state.keep_snapshots),
+        (index, SAVE_INTERVAL, KEEP_SNAPSHOTS),
+        (log.lineage, SAVE_INTERVAL, KEEP_SNAPSHOTS),
+        (log.metrics, SAVE_INTERVAL, KEEP_SNAPSHOTS),
+    ]:
+        cur = tbl.current()
+        assert len(cur.data_dirs) <= si + 1, tbl.path
+        assert len(tbl.snapshots()) <= keep + si, tbl.path
+        # expiry actually reclaimed disk: on-disk data dirs match the
+        # manifest's references (no orphan accumulation)
+        on_disk = {d for d in glob.glob(os.path.join(tbl.path, "data-*"))}
+        referenced = {d for s in tbl.snapshots() for d in s.data_dirs}
+        assert on_disk == referenced, tbl.path
+
+    # the compacted state still answers correctly: final row count equals
+    # the full history's
+    expected_rows = len(fixtures.base_state_rows()) + sum(
+        len(b) for b in batches.values()
+    )
+    assert state.read(spark).count() == expected_rows
+
+    # full golden match, every seq
+    expected, _ = oracle.run_sequence(fixtures.base_state_rows(), batches)
+    for seq in sorted(batches):
+        got = read_features(out_dir, seq)
+        want = sorted(json.dumps(f, sort_keys=True) for f in expected[seq])
+        assert got == want, f"seq {seq}"
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src_dir = str(tmp_path / "events")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
