@@ -168,7 +168,7 @@ def test_rollback_skips_uncommitted_compaction(spark, tmp_path):
     from augdiff_pipeline_spark.plans.runner import _rollback_uncommitted
     from augdiff_pipeline_spark.sources.state import StateTable
 
-    state = StateTable(str(tmp_path / "state"), save_interval=2, keep_snapshots=6)
+    state = StateTable(str(tmp_path / "state"), save_interval=3, keep_snapshots=6)
     state.init(fixtures.base_state_df(spark))
     base_rows = state.read(spark).count()
 
@@ -177,7 +177,7 @@ def test_rollback_skips_uncommitted_compaction(spark, tmp_path):
             "id", F.col("id") + F.lit(100000 * seq)
         )
 
-    # seqs 1-2 commit; seq 3's append triggers compaction (3 dirs > 2)
+    # seqs 1-2 commit; seq 3's append triggers compaction (4 dirs > 3)
     # and then the "crash" happens before seq 3's commit marker
     for seq in (1, 2, 3):
         state.append_batch(batch(seq), seq=seq)
