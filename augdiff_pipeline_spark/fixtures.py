@@ -324,7 +324,21 @@ def soak_batch_rows(n_batches: int = 50) -> dict[int, list[tuple]]:
         alive[key] = True
         return ver[key]
 
-    way_corners = [nid for nid in (SQ2 + RD) if alive.get((nid, "node"), False)]
+    # A corner move indirectly dirties every way whose nds contain the
+    # node — including TOMBSTONED ways: the tombstone (empty nds) never
+    # satisfies the window predicate, so the way's older visible version
+    # would become the in-window row and the batch would "resurrect" a
+    # deleted way, whose before-geometry (the empty-nds tombstone) is
+    # undefined in the reference (RowsToJson.scala's way predicates are
+    # vacuous over empty nds).  Only move corners whose containing ways
+    # are all still alive.
+    dead_ways = {w for w, _s in WAYS.items() if not alive.get((w, "way"), True)}
+    way_corners = [
+        nid
+        for nid in (SQ2 + RD)
+        if alive.get((nid, "node"), False)
+        and not any(nid in WAYS[w]["nds"] for w in dead_ways)
+    ]
     ephemeral: list[int] = []  # created, not yet tombstoned
     out: dict[int, list[tuple]] = {}
     for i in range(n_batches):

@@ -64,8 +64,19 @@ def stream_augdiff(
     )
 
     def process(micro_df: DataFrame, epoch_id: int) -> None:
+        # Run the WHOLE batch on the stream's cloned session —
+        # micro_df is bound to it, and mixing it with the outer
+        # session builds cross-session plans.  AQE is off on the
+        # clone: per-batch frames are tiny (AQE's re-planning buys
+        # nothing), and AQE's background re-optimization can mint
+        # plan nodes with no active session, which NPE
+        # (SparkPlan.session is null in resetMetrics) when a long
+        # soak re-executes the adaptive plan.  The clone's conf is
+        # isolated, so batch-mode queries keep AQE.
+        bspark = micro_df.sparkSession
+        bspark.conf.set("spark.sql.adaptive.enabled", "false")
         seqs = [r["seq"] for r in micro_df.select("seq").distinct().collect()]
-        committed = set(log.committed_seqs(spark))
+        committed = set(log.committed_seqs(bspark))
         # same crash-recovery contract as plans/runner.resume_and_run: a
         # crash between a state/index append and the lineage COMMIT
         # marker leaves snapshots tagged with an uncommitted seq — roll
@@ -76,7 +87,7 @@ def stream_augdiff(
             if seq in committed:
                 continue  # idempotent on re-delivery / restart replay
             batch = micro_df.filter(F.col("seq") == seq).drop("seq")
-            run_batch(spark, state, index, log, batch, int(seq), out_dir)
+            run_batch(bspark, state, index, log, batch, int(seq), out_dir)
 
     return (
         src.writeStream.foreachBatch(process)
