@@ -15,3 +15,11 @@ point-in-polygon, Web Mercator tiling, MinHash/SimHash).
 """
 
 __version__ = "0.1.0"
+
+# Runs on every process that imports the package — driver AND forked
+# Python workers (kernel unpickling imports the defining module).  See
+# session._pin_malloc_arenas for the measured why.
+from .session import _pin_malloc_arenas as _pma  # noqa: E402
+
+_pma()
+del _pma

@@ -405,56 +405,179 @@ def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks):
     return out
 
 
-def _collect_corpus_csr(docs: DataFrame, text_col: str, id_col: str
-                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Corpus shingle sets as driver-side CSR (doc_ids sorted asc,
-    hashes, offsets, counts), shingled ON THE EXECUTORS.
-
-    Each partition emits one row of concatenated per-doc hash arrays;
-    the driver stitches the partitions with pure array ops via a
-    zero-copy Arrow fetch — no serial re-shingle, no per-doc Python.
-    """
-    def kern(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            hv, offs, cnts = _batch_shingle_hashes(list(pdf[text_col]))
-            yield pd.DataFrame({
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64)],
-                "hv": [hv.astype(np.int64)],
-                "cnts": [cnts],
-            })
-
-    tbl = (
-        docs.select(F.col(id_col), F.col(text_col))
-        .mapInPandas(kern, "ids array<long>, hv array<long>, cnts array<long>")
-        .toArrow()
-    )
-
-    def _flat(name):
-        col = tbl[name].combine_chunks()
-        return col.flatten().to_numpy(zero_copy_only=False)
-
-    ids = _flat("ids").astype(np.int64)
-    hv = _flat("hv").astype(np.uint64)
-    cnts = _flat("cnts").astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
-    order = np.argsort(ids, kind="stable")
-    # ragged gather: reorder the CSR segments into doc_id order
-    cnts_o = cnts[order]
-    offs_o = np.concatenate([[0], np.cumsum(cnts_o)[:-1]]).astype(np.int64)
-    ke = offs_o.copy()
-    tot = int(cnts_o.sum())
-    idx = (np.arange(tot, dtype=np.int64)
-           - np.repeat(ke, cnts_o) + np.repeat(offs[order], cnts_o))
-    return ids[order], hv[idx], offs_o, cnts_o
-
-
 def _verify_schema():
     return pd.DataFrame(
         {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
          "jaccard": pd.Series([], dtype="float64")}
     )
+
+
+def _sorted_csr_from_arrow(ids: np.ndarray, hv: np.ndarray, cnts: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Reorder doc-major CSR segments into ascending-doc-id order (so
+    the verify kernel can np.searchsorted ids).  Pure array ops."""
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cnts_o = cnts[order]
+    offs_o = np.concatenate([[0], np.cumsum(cnts_o)[:-1]]).astype(np.int64)
+    tot = int(cnts_o.sum())
+    idx = (np.arange(tot, dtype=np.int64)
+           - np.repeat(offs_o, cnts_o) + np.repeat(offs[order], cnts_o))
+    return ids[order], hv[idx], offs_o, cnts_o
+
+
+def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
+                         jaccard_threshold: float, text_col: str, id_col: str,
+                         max_bucket: int | None) -> DataFrame:
+    """Under-broadcast-budget minhash plan: ONE pass over the docs.
+
+    A single kernel shingles each doc once and emits (doc_id,
+    band_hashes[bands], shingle hashes) — checkpointed, so the scan +
+    shingle never repeats.  The driver lifts the (doc_id, hashes) CSR
+    straight out of the checkpoint via Arrow and broadcasts it; the
+    band rows come from a native posexplode of the same checkpoint
+    (column-pruned, so the hash arrays never enter the shuffle).  Each
+    LSH bucket's pairs are then emitted AND exact-Jaccard-verified
+    inside the bucket aggregation kernel: candidates never leave the
+    task that proposed them, and the only post-shuffle rows are
+    verified true pairs — at 100-TB corpus scale the candidate volume
+    is the whole cost of LSH dedup, so never materializing or shuffling
+    it is the point (the >budget path must shuffle candidates to meet
+    their text; this path's budget is exactly what lets it skip that).
+
+    Per-pair verify is a two-pointer-style searchsorted merge over the
+    pair's two sorted-unique CSR segments (~4 µs/pair at ~200 shingles
+    per doc); pairs within a batch dedupe first (the same true pair
+    collides in many bands).  Deliberately NOT a giant vectorized
+    gather across all pairs: that materializes sum(|Sb|) elements in
+    fresh temporaries (hundreds of MB per batch), which both thrashes
+    memory bandwidth and — on ballooned sandbox hosts — pays a
+    first-touch page-fault tax measured at ~20 MB/s (BASELINE.md
+    methodology); bounded per-pair slices reuse warm arena pages.
+    """
+    spark = docs.sparkSession
+    rows_per_band = num_perm // bands
+    salts = _salts(num_perm, 1)
+
+    def sig_csr_kernel(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_hashes": pd.Series([], dtype="object"),
+                    "hashes": pd.Series([], dtype="object"),
+                })
+                continue
+            hv, offs, cnts = _batch_shingle_hashes(list(pdf[text_col]))
+            sigs = np.empty((n, num_perm), dtype=np.uint64)
+            for j in range(num_perm):
+                sigs[:, j] = np.minimum.reduceat(_mix64(hv ^ salts[j]), offs)
+            bh = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                h = np.full(n, np.uint64(b), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    h = _mix64(h ^ sigs[:, b * rows_per_band + r])
+                bh[:, b] = h
+            bh64 = bh.astype(np.int64)
+            hv64 = hv.astype(np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "band_hashes": list(bh64),
+                "hashes": [hv64[offs[i]: offs[i] + cnts[i]] for i in range(n)],
+            })
+
+    combined = docs.select(id_col, text_col).mapInPandas(
+        sig_csr_kernel, "doc_id long, band_hashes array<long>, hashes array<long>"
+    ).localCheckpoint(eager=True)
+
+    tbl = combined.select("doc_id", "hashes").toArrow()
+    ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    hcol = tbl["hashes"].combine_chunks()
+    cnts = np.asarray(hcol.value_lengths(), dtype=np.int64)
+    hv_all = hcol.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids_s, hv_s, offs_s, cnts_s = _sorted_csr_from_arrow(ids, hv_all, cnts)
+    bc = spark.sparkContext.broadcast((ids_s, hv_s, offs_s, cnts_s))
+
+    buckets = combined.select(
+        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+    ).groupBy("band", "band_hash").agg(F.collect_list("doc_id").alias("_ids"))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    buckets = buckets.filter(F.size("_ids") > 1)
+
+    # Tile each bucket's pair triangle into T x T blocks (native slice +
+    # explode): a bucket of m docs becomes ceil(m/T)(ceil(m/T)+1)/2 cell
+    # rows of <= 2T ids each, so per-task verify work is bounded by T^2
+    # PAIRS no matter how hot the bucket — the blocked-matmul answer to
+    # quadratic bucket skew (pair-level parallelism without ever
+    # shuffling pairs; only id lists move, duplicated ~ceil(m/T) times).
+    # The repartition spreads cells across cores; without it every cell
+    # of a hot bucket stays in the task that aggregated the bucket.
+    T = 256
+    C = F.ceil(F.size("_ids") / T).cast("int")
+    cells = (
+        buckets.select("_ids", F.explode(F.sequence(F.lit(0), C - 1)).alias("_i"))
+        .select("_ids", "_i",
+                F.explode(F.sequence(F.col("_i"),
+                                     F.ceil(F.size("_ids") / T).cast("int") - 1)
+                          ).alias("_j"))
+        .select(
+            F.slice("_ids", F.col("_i") * T + 1, T).alias("la"),
+            F.when(F.col("_i") == F.col("_j"), F.lit(None))
+            .otherwise(F.slice("_ids", F.col("_j") * T + 1, T)).alias("lb"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    thr = float(jaccard_threshold)
+
+    def emit_verify(it):
+        ids_b, hv_b, offs_b, cnts_b = bc.value
+        for pdf in it:
+            parts_a, parts_b = [], []
+            for la, lb in zip(pdf["la"], pdf["lb"]):
+                la = np.asarray(la, dtype=np.int64)
+                if lb is None or (isinstance(lb, float) and np.isnan(lb)):
+                    iu, ju = np.triu_indices(len(la), 1)
+                    pa, pb = la[iu], la[ju]
+                else:
+                    lb = np.asarray(lb, dtype=np.int64)
+                    pa = np.repeat(la, len(lb))
+                    pb = np.tile(lb, len(la))
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                parts_a.append(lo)
+                parts_b.append(hi)
+            if not parts_a:
+                yield _verify_schema()
+                continue
+            a = np.concatenate(parts_a)
+            b = np.concatenate(parts_b)
+            if len(a) == 0:
+                yield _verify_schema()
+                continue
+            # in-batch dedupe: a true pair collides in many bands
+            ab = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = ab[:, 0], ab[:, 1]
+            ia = np.searchsorted(ids_b, a)
+            ib = np.searchsorted(ids_b, b)
+            inter = np.empty(len(a), dtype=np.int64)
+            for p in range(len(a)):
+                sa = hv_b[offs_b[ia[p]]: offs_b[ia[p]] + cnts_b[ia[p]]]
+                sb = hv_b[offs_b[ib[p]]: offs_b[ib[p]] + cnts_b[ib[p]]]
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                idx = np.minimum(np.searchsorted(sb, sa), len(sb) - 1)
+                inter[p] = int((sb[idx] == sa).sum())
+            union = cnts_b[ia] + cnts_b[ib] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jac >= thr
+            yield pd.DataFrame({"a": a[keep], "b": b[keep], "jaccard": jac[keep]})
+
+    return cells.mapInPandas(
+        emit_verify, "a long, b long, jaccard double"
+    ).distinct()
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
@@ -469,35 +592,20 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     engine recomputing it from the same shingle sets matches bit-for-bit.
 
     Verify strategy (auto): if the corpus' estimated shingle bytes fit
-    ``max_shingle_broadcast_bytes``, the shingle dictionary (CSR arrays)
-    is built once and broadcast — candidate pairs then verify with NO
-    text join and no per-batch re-shingle.  Above the budget the verify
-    joins pairs back onto the text column and shingles each batch's
-    distinct docs (fully distributed; text bytes shuffle once per
-    candidate, the price of not holding corpus state anywhere).
+    ``max_shingle_broadcast_bytes``, the pipeline is FUSED: one kernel
+    pass emits each doc's band hashes AND its shingle CSR segment
+    (checkpointed, so docs are scanned and shingled exactly once), the
+    CSR is broadcast, and each LSH bucket's pairs are emitted and
+    Jaccard-verified INSIDE the bucket aggregation kernel — candidates
+    never leave the task that created them; the only rows that shuffle
+    after the one groupBy are verified true pairs (tiny by
+    construction).  Above the budget the verify joins candidate pairs
+    back onto the text column and shingles each batch's distinct docs
+    (fully distributed; text bytes shuffle once per candidate, the
+    price of not holding corpus state anywhere).
     """
     spark = docs.sparkSession
-    # candidate pairs via ONE shuffle of the signature rows (groupBy +
-    # in-kernel pair emission) — the signature kernel runs exactly once,
-    # no self-join, no materialization barrier.  max_bucket caps
-    # pathological buckets at corpus scale (None = exact).
-    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
-    # Candidate shape, measured against two tempting "optimizations":
-    # the pre-verify distinct is load-bearing (near-dup docs collide in
-    # MANY bands; deferring the dedupe past the verify was 2x slower),
-    # and it must stay a distinct-THEN-repartition pair — distinct's
-    # map-side partial aggregation collapses the duplicated raw stream
-    # before anything shuffles, while a fused repartition(a, b) +
-    # dropDuplicates shuffles the full raw multiplicity first (also
-    # measured slower).  The trailing repartition pins the CPU-bound
-    # verify's parallelism against AQE's advisory-size coalescing; at
-    # 16 B/row it is trivial.
-    cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id",
-                         max_bucket=max_bucket)
-    # spread the verify against AQE's advisory-size coalescing (pairs
-    # are 16 B/row); measured: keeping this shuffle still wins with the
-    # vectorized verify (3.41 vs 3.71 s at bench scale)
-    cand = cand.repartition(spark.sparkContext.defaultParallelism)
+    _require_integral(docs, id_col, "minhash_lsh_pairs")
     # Routing is a pure performance choice — both verify paths produce
     # identical output — but a ROUTING overestimate must never collect
     # an over-budget corpus to the driver.  Catalyst's plan-size
@@ -517,35 +625,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     else:
         est = int(docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()["b"] or 0)
     if est <= max_shingle_broadcast_bytes:
-        # shingle DISTRIBUTED (executors run the same vectorized batch
-        # kernel the signature stage uses), then collect only the CSR
-        # hash arrays via Arrow — the driver never re-shingles the
-        # corpus serially (at the 512 MB budget that serial pass would
-        # cost ~minutes; collecting ~8 B/shingle is one Arrow fetch)
-        doc_ids, hv, offs, cnts = _collect_corpus_csr(docs, text_col, id_col)
-        # ship dense RANKS, not raw hashes: the bitmap verify kernel
-        # only needs rank identity, and int32 ranks halve the broadcast
-        ranks, n_ranks = _csr_ranks(hv)
-        bc = spark.sparkContext.broadcast((doc_ids, ranks, offs, cnts, n_ranks))
+        return _minhash_pairs_fused(docs, num_perm, bands, jaccard_threshold,
+                                    text_col, id_col, max_bucket)
 
-        def verify_bc(it):
-            ids_s, ranks_b, offs_b, cnts_b, nr = bc.value
-            for pdf in it:
-                if len(pdf) == 0:
-                    yield _verify_schema()
-                    continue
-                aa = pdf["a"].to_numpy(dtype=np.int64)
-                bb = pdf["b"].to_numpy(dtype=np.int64)
-                ia = np.searchsorted(ids_s, aa)
-                ib = np.searchsorted(ids_s, bb)
-                inter = _csr_intersections(ranks_b, offs_b, cnts_b, ia, ib, nr)
-                union = cnts_b[ia] + cnts_b[ib] - inter
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-                keep = jac >= jaccard_threshold
-                yield pd.DataFrame({"a": aa[keep], "b": bb[keep], "jaccard": jac[keep]})
-
-        return cand.mapInPandas(verify_bc, "a long, b long, jaccard double")
-
+    # --- over-budget: fully distributed, no corpus state anywhere ---
+    # candidate pairs via ONE shuffle of the signature rows (groupBy +
+    # in-kernel pair emission) — no self-join, no materialization
+    # barrier.  max_bucket caps pathological buckets at corpus scale.
+    sigs = minhash_bands(docs, num_perm, bands, text_col, id_col)
+    # the pre-verify distinct is load-bearing here (near-dup docs
+    # collide in MANY bands, and each duplicate costs a text join +
+    # re-shingle in this verify), and the trailing repartition pins the
+    # CPU-bound verify's parallelism against AQE's advisory-size
+    # coalescing (pairs are 16 B/row, so AQE would pack them onto a
+    # handful of tasks and serialize the verify).
+    cand = _bucket_pairs(sigs, ["band", "band_hash"], "doc_id",
+                         max_bucket=max_bucket)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     texts = docs.select(F.col(id_col), F.col(text_col))
     paired = (
         cand.join(texts.withColumnRenamed(id_col, "a").withColumnRenamed(text_col, "ta"), "a")

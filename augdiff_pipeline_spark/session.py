@@ -8,9 +8,33 @@ UDFs in a hot path).
 
 from __future__ import annotations
 
+import ctypes
 import os
 
 from pyspark.sql import SparkSession
+
+
+def _pin_malloc_arenas() -> None:
+    """Keep large allocations in the persistent brk heap instead of
+    transient mmaps (glibc M_MMAP_THRESHOLD / M_TRIM_THRESHOLD = 512 MB).
+
+    glibc mmaps big buffers and munmaps them on free, so every large
+    numpy temporary re-faults fresh anon pages.  On ballooned VM hosts
+    (this sandbox included) first-touch of new pages can run at
+    ~10-25 MB/s — measured here: np.repeat into a fresh 1.5 GB buffer
+    69-197 s cold vs 0.6 s once the arena is warm, and the SAME kernel
+    swings 4 s <-> 0.2 s run-to-run with arena state (BASELINE.md
+    methodology).  Pinning the arena makes the fault cost one-time per
+    process instead of per-allocation.  No-op where glibc is absent."""
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 29)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 29)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_pin_malloc_arenas()
 
 
 def get_spark(
@@ -28,6 +52,12 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cores * 2, 8)
+    # glibc reads these at process start: the JVM inherits them from
+    # this process and the pyspark daemon/workers inherit them from the
+    # JVM, so forked workers get pinned arenas even before the package
+    # import re-applies mallopt (see _pin_malloc_arenas).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 29))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 29))
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
