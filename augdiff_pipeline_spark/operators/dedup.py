@@ -413,9 +413,18 @@ def _verify_schema():
 
 
 def _sorted_csr_from_arrow(ids: np.ndarray, hv: np.ndarray, cnts: np.ndarray
-                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Reorder doc-major CSR segments into ascending-doc-id order (so
-    the verify kernel can np.searchsorted ids).  Pure array ops."""
+    the verify kernel can np.searchsorted ids) and RANK-COMPRESS the
+    hash values: segment hashes become dense int32 ranks over the corpus
+    dictionary.  Rank compression (a) halves the broadcast (int32 vs
+    int64 — at the 512 MB budget that is 256 MB saved on every executor)
+    and (b) is what lets the verify kernel offset-shift each pair's
+    segment into one globally monotonic array (rank + pair_no * n_ranks
+    fits int64; raw 64-bit hashes cannot be shifted).  np.unique is
+    order-preserving, so segments stay sorted-unique.  Pure array ops,
+    one sort over the corpus dictionary — paid once per call, on the
+    driver, before the broadcast."""
     offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
     order = np.argsort(ids, kind="stable")
     cnts_o = cnts[order]
@@ -423,7 +432,8 @@ def _sorted_csr_from_arrow(ids: np.ndarray, hv: np.ndarray, cnts: np.ndarray
     tot = int(cnts_o.sum())
     idx = (np.arange(tot, dtype=np.int64)
            - np.repeat(offs_o, cnts_o) + np.repeat(offs[order], cnts_o))
-    return ids[order], hv[idx], offs_o, cnts_o
+    ranks, n_ranks = _csr_ranks(hv[idx])
+    return ids[order], ranks, offs_o, cnts_o, n_ranks
 
 
 def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
@@ -445,15 +455,14 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     it is the point (the >budget path must shuffle candidates to meet
     their text; this path's budget is exactly what lets it skip that).
 
-    Per-pair verify is a two-pointer-style searchsorted merge over the
-    pair's two sorted-unique CSR segments (~4 µs/pair at ~200 shingles
-    per doc); pairs within a batch dedupe first (the same true pair
-    collides in many bands).  Deliberately NOT a giant vectorized
-    gather across all pairs: that materializes sum(|Sb|) elements in
-    fresh temporaries (hundreds of MB per batch), which both thrashes
-    memory bandwidth and — on ballooned sandbox hosts — pays a
-    first-touch page-fault tax measured at ~20 MB/s (BASELINE.md
-    methodology); bounded per-pair slices reuse warm arena pages.
+    The verify is chunk-vectorized: fixed-size pair blocks, each
+    resolved by ONE concatenated searchsorted over offset-shifted rank
+    segments + one add.reduceat (see the kernel comment) — no per-pair
+    Python, and temporaries bounded at tens of MB per block so warm
+    malloc-arena pages get reused instead of paying the ballooned-host
+    first-touch page-fault tax a whole-batch gather incurs (BASELINE.md
+    methodology).  Pairs within a batch dedupe before verification (the
+    same true pair collides in many bands).
     """
     spark = docs.sparkSession
     rows_per_band = num_perm // bands
@@ -496,8 +505,23 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     hcol = tbl["hashes"].combine_chunks()
     cnts = np.asarray(hcol.value_lengths(), dtype=np.int64)
     hv_all = hcol.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    ids_s, hv_s, offs_s, cnts_s = _sorted_csr_from_arrow(ids, hv_all, cnts)
-    bc = spark.sparkContext.broadcast((ids_s, hv_s, offs_s, cnts_s))
+    # Driver sizing: this path holds the corpus CSR on the driver three
+    # times transiently (Arrow table + the int64 hash buffer + the rank
+    # build's sort temporaries) before the int32-rank broadcast ships —
+    # ~3.5x the budgeted bytes peak.  The routing budget therefore
+    # implies a driver-memory floor: a 512 MB corpus needs ~2 GB of
+    # driver headroom.  Assert loudly instead of letting a mis-set
+    # budget OOM the driver mid-broadcast.
+    csr_bytes = int(hv_all.nbytes)
+    assert csr_bytes <= 4 * DEFAULT_MAX_SHINGLE_BROADCAST_BYTES, (
+        f"fused minhash CSR is {csr_bytes >> 20} MiB on the driver — "
+        "max_shingle_broadcast_bytes is set past what driver memory can "
+        "absorb (peak ~3.5x CSR bytes); lower the budget to route to the "
+        "distributed verify"
+    )
+    ids_s, ranks_s, offs_s, cnts_s, n_ranks = _sorted_csr_from_arrow(ids, hv_all, cnts)
+    del tbl, hcol, hv_all, ids, cnts  # drop int64 temporaries pre-broadcast
+    bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
 
     buckets = combined.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
@@ -533,7 +557,7 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     thr = float(jaccard_threshold)
 
     def emit_verify(it):
-        ids_b, hv_b, offs_b, cnts_b = bc.value
+        ids_b, ranks_b, offs_b, cnts_b, n_ranks_b = bc.value
         for pdf in it:
             parts_a, parts_b = [], []
             for la, lb in zip(pdf["la"], pdf["lb"]):
@@ -563,21 +587,59 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
             ia = np.searchsorted(ids_b, a)
             ib = np.searchsorted(ids_b, b)
             inter = np.empty(len(a), dtype=np.int64)
-            for p in range(len(a)):
-                sa = hv_b[offs_b[ia[p]]: offs_b[ia[p]] + cnts_b[ia[p]]]
-                sb = hv_b[offs_b[ib[p]]: offs_b[ib[p]] + cnts_b[ib[p]]]
-                if len(sa) > len(sb):
-                    sa, sb = sb, sa
-                idx = np.minimum(np.searchsorted(sb, sa), len(sb) - 1)
-                inter[p] = int((sb[idx] == sa).sum())
+            # Chunked concatenated searchsorted: pairs are processed in
+            # fixed-size blocks; per block, each pair's smaller rank
+            # segment is gathered concatenated and offset-shifted by
+            # pair_no * n_ranks (the shift is why the broadcast carries
+            # dense RANKS: shifted values stay < 2^63, raw 64-bit hashes
+            # would overflow), making the concatenated larger-side array
+            # globally monotonic — so ONE searchsorted + one equality
+            # gather + one add.reduceat counts every intersection in the
+            # block.  Bounded temporaries (~CHUNK x avg-shingles x 8 B,
+            # tens of MB) keep the warm-arena property that beat the
+            # giant whole-batch gather on ballooned hosts (BASELINE.md
+            # methodology), with zero per-pair Python: measured
+            # 0.6-1.1 us/pair vs 12 us for the round-4 per-pair merge
+            # loop on the same host (BASELINE.md round-5).
+            CHUNK = 8192
+            for c0 in range(0, len(a), CHUNK):
+                ia_c = ia[c0:c0 + CHUNK]
+                ib_c = ib[c0:c0 + CHUNK]
+                swap = cnts_b[ia_c] > cnts_b[ib_c]
+                s_doc = np.where(swap, ib_c, ia_c)
+                b_doc = np.where(swap, ia_c, ib_c)
+                sc, bcnt = cnts_b[s_doc], cnts_b[b_doc]
+                shift = np.arange(len(ia_c), dtype=np.int64) * n_ranks_b
+                s_tot, b_tot = int(sc.sum()), int(bcnt.sum())
+                s_off = np.concatenate([[0], np.cumsum(sc)[:-1]])
+                s_idx = (np.arange(s_tot, dtype=np.int64)
+                         - np.repeat(s_off, sc) + np.repeat(offs_b[s_doc], sc))
+                s_vals = ranks_b[s_idx].astype(np.int64) + np.repeat(shift, sc)
+                b_off = np.concatenate([[0], np.cumsum(bcnt)[:-1]])
+                b_idx = (np.arange(b_tot, dtype=np.int64)
+                         - np.repeat(b_off, bcnt) + np.repeat(offs_b[b_doc], bcnt))
+                b_vals = ranks_b[b_idx].astype(np.int64) + np.repeat(shift, bcnt)
+                pos = np.minimum(np.searchsorted(b_vals, s_vals), b_tot - 1)
+                hit = (b_vals[pos] == s_vals).astype(np.int64)
+                inter[c0:c0 + CHUNK] = np.add.reduceat(hit, s_off)
             union = cnts_b[ia] + cnts_b[ib] - inter
             jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
             keep = jac >= thr
             yield pd.DataFrame({"a": a[keep], "b": b[keep], "jaccard": jac[keep]})
 
-    return cells.mapInPandas(
+    # Materialize eagerly, then release the big per-call state: the
+    # broadcast is up to ~256 MB (int32 ranks at the byte budget) on the
+    # driver AND every executor, and repeated calls in a long-lived
+    # session (streaming dedup, bench repeats) would otherwise
+    # accumulate one live broadcast per call until GC happens to run.
+    # The checkpointed pair set no longer references the broadcast or
+    # the `combined` checkpoint, whose blocks the ContextCleaner
+    # reclaims once the plan objects here go out of scope.
+    out = cells.mapInPandas(
         emit_verify, "a long, b long, jaccard double"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    bc.destroy()
+    return out
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
