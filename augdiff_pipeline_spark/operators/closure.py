@@ -182,6 +182,13 @@ def incremental_closure(
         all_edges = spark.createDataFrame(all_set or [], "a long, b long")
         return new_edges, all_edges
 
+    # Oversize route: checkpoint the probe inputs before the fixpoint —
+    # without this the two-hop semi-join plan re-executes once per
+    # consumer (the fixpoint seed AND the new-edges anti-join), tripling
+    # the probe's work.  The extra jobs land only on this rare branch;
+    # the common small-batch path above stays at one candidate scan.
+    row_edges = row_edges.localCheckpoint(eager=True)
+    existing = existing.localCheckpoint(eager=True)
     closed = transitive_closure(row_edges.unionByName(existing))
     new_edges = closed.join(existing.select("a", "b"), on=["a", "b"], how="left_anti")
     # endpoints of self-loop edges still matter for the fetch set:

@@ -362,7 +362,7 @@ def _csr_ranks(hv) -> tuple[np.ndarray, int]:
     return inv.astype(np.int32), len(uniq)
 
 
-def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks):
+def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks, bitmap=None):
     """Batch |Sa ∩ Sb| over CSR shingle-RANK segments (per-doc sorted
     unique), vectorized across pairs.
 
@@ -387,7 +387,8 @@ def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks):
     idx_b = (np.arange(tot_b, dtype=np.int64)
              - np.repeat(ke, cb) + np.repeat(offs[ib_s], cb))
     br = ranks[idx_b]
-    bitmap = np.zeros(n_ranks, dtype=bool)
+    if bitmap is None:
+        bitmap = np.zeros(n_ranks, dtype=bool)
     inter = np.empty(P, dtype=np.int64)
     runs = np.flatnonzero(np.concatenate([[True], ia_s[1:] != ia_s[:-1]]))
     runs_end = np.concatenate([runs[1:], [P]])
@@ -455,9 +456,9 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     it is the point (the >budget path must shuffle candidates to meet
     their text; this path's budget is exactly what lets it skip that).
 
-    The verify is chunk-vectorized: fixed-size pair blocks, each
-    resolved by ONE concatenated searchsorted over offset-shifted rank
-    segments + one add.reduceat (see the kernel comment) — no per-pair
+    The verify is chunk-vectorized: fixed-size pair blocks resolved by
+    the same per-left-run bitmap kernel as the distributed verify
+    (_csr_intersections) over the broadcast rank CSR — no per-pair
     Python, and temporaries bounded at tens of MB per block so warm
     malloc-arena pages get reused instead of paying the ballooned-host
     first-touch page-fault tax a whole-batch gather incurs (BASELINE.md
@@ -587,41 +588,30 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
             ia = np.searchsorted(ids_b, a)
             ib = np.searchsorted(ids_b, b)
             inter = np.empty(len(a), dtype=np.int64)
-            # Chunked concatenated searchsorted: pairs are processed in
-            # fixed-size blocks; per block, each pair's smaller rank
-            # segment is gathered concatenated and offset-shifted by
-            # pair_no * n_ranks (the shift is why the broadcast carries
-            # dense RANKS: shifted values stay < 2^63, raw 64-bit hashes
-            # would overflow), making the concatenated larger-side array
-            # globally monotonic — so ONE searchsorted + one equality
-            # gather + one add.reduceat counts every intersection in the
-            # block.  Bounded temporaries (~CHUNK x avg-shingles x 8 B,
-            # tens of MB) keep the warm-arena property that beat the
-            # giant whole-batch gather on ballooned hosts (BASELINE.md
-            # methodology), with zero per-pair Python: measured
-            # 0.6-1.1 us/pair vs 12 us for the round-4 per-pair merge
-            # loop on the same host (BASELINE.md round-5).
+            # Chunked bitmap intersection — the SAME per-left-doc-run
+            # kernel the distributed verify uses (_csr_intersections,
+            # rank bitmap + one membership gather + one reduceat per
+            # run), applied in fixed-size pair blocks.  Pairs arrive
+            # sorted by (a, b) from the in-batch dedupe, so the tile
+            # structure (each left doc pairing with up to T rights)
+            # becomes contiguous runs and the per-run cost amortizes
+            # over ~T pairs.  Chunking bounds the right-segment gather
+            # at ~CHUNK x avg-shingles elements (tens of MB), keeping
+            # the warm-arena reuse that matters on ballooned hosts
+            # (BASELINE.md); the bitmap allocates once per batch.
+            # Measured on tile-style pairs, same host, same session:
+            # 6.3 us/pair vs 18.2 us for the round-4 per-pair merge
+            # loop and 24 us for a concatenated-searchsorted form
+            # (global binary search loses the cache locality the
+            # per-segment bitmap keeps) — BASELINE.md round-5.
             CHUNK = 8192
+            bitmap = np.zeros(n_ranks_b, dtype=bool)
             for c0 in range(0, len(a), CHUNK):
-                ia_c = ia[c0:c0 + CHUNK]
-                ib_c = ib[c0:c0 + CHUNK]
-                swap = cnts_b[ia_c] > cnts_b[ib_c]
-                s_doc = np.where(swap, ib_c, ia_c)
-                b_doc = np.where(swap, ia_c, ib_c)
-                sc, bcnt = cnts_b[s_doc], cnts_b[b_doc]
-                shift = np.arange(len(ia_c), dtype=np.int64) * n_ranks_b
-                s_tot, b_tot = int(sc.sum()), int(bcnt.sum())
-                s_off = np.concatenate([[0], np.cumsum(sc)[:-1]])
-                s_idx = (np.arange(s_tot, dtype=np.int64)
-                         - np.repeat(s_off, sc) + np.repeat(offs_b[s_doc], sc))
-                s_vals = ranks_b[s_idx].astype(np.int64) + np.repeat(shift, sc)
-                b_off = np.concatenate([[0], np.cumsum(bcnt)[:-1]])
-                b_idx = (np.arange(b_tot, dtype=np.int64)
-                         - np.repeat(b_off, bcnt) + np.repeat(offs_b[b_doc], bcnt))
-                b_vals = ranks_b[b_idx].astype(np.int64) + np.repeat(shift, bcnt)
-                pos = np.minimum(np.searchsorted(b_vals, s_vals), b_tot - 1)
-                hit = (b_vals[pos] == s_vals).astype(np.int64)
-                inter[c0:c0 + CHUNK] = np.add.reduceat(hit, s_off)
+                inter[c0:c0 + CHUNK] = _csr_intersections(
+                    ranks_b, offs_b, cnts_b,
+                    ia[c0:c0 + CHUNK], ib[c0:c0 + CHUNK], n_ranks_b,
+                    bitmap=bitmap,
+                )
             union = cnts_b[ia] + cnts_b[ib] - inter
             jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
             keep = jac >= thr

@@ -37,53 +37,72 @@ from .lineage import LineageLog, StageTimer
 TYPE_ORDER = {"node": 0, "way": 1, "relation": 2}
 
 
+class _NullTimer:
+    def time(self, stage: str, record_to_log: bool = True):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
 def compute_batch_features(
     spark: SparkSession,
     state: StateTable,
     index: SnapshotTable,
     batch_df: DataFrame,
+    timer=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(features_df, new_edges_df) for one change batch (no writes)."""
-    index_df = index.read(spark, schema=INDEX_SCHEMA)
-    new_edges, all_edges = incremental_closure(index_df, batch_df)
-    new_edges = new_edges.localCheckpoint(eager=True)
-    pairs = needed_pairs(batch_df, all_edges)
-    fetched = state.fetch_pairs(spark, pairs)
+    """(features_df, new_edges_df) for one change batch (no writes).
 
-    rows = (
-        batch_df.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(True))
-        .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
-    )
-    rows = history.dedup_batch_union(rows)
-    nh, wh, rh = history.all_histories(rows)  # checkpointed inside
+    ``timer`` (a lineage.StageTimer) splits the diff into closure /
+    histories / render sub-stages in the metrics table — the per-batch
+    latency breakdown a minutely deployment watches.  Boundaries sit at
+    the eager checkpoints, so each window measures the jobs it claims.
+    """
+    timer = timer or _NullTimer()
+    with timer.time("closure"):
+        index_df = index.read(spark, schema=INDEX_SCHEMA)
+        new_edges, all_edges = incremental_closure(index_df, batch_df)
+        new_edges = new_edges.localCheckpoint(eager=True)
+    with timer.time("histories"):
+        pairs = needed_pairs(batch_df, all_edges)
+        fetched = state.fetch_pairs(spark, pairs)
 
-    node_pts = render.node_points(nh).localCheckpoint(eager=True)
-    # both way render modes in ONE explode/join/agg/kernel pass, then
-    # filter the single checkpointed result per mode — halves the
-    # heaviest per-batch chain (each mode previously paid its own
-    # explode + broadcast join + sort-collect + Arrow kernel + eager
-    # checkpoint, serialized back-to-back)
-    way_both = render.way_wkbs_both(wh, node_pts).localCheckpoint(eager=True)
-    way_a = way_both.filter(F.col("mode") == "a").select("id", "wkb")
-    way_b = way_both.filter(F.col("mode") == "b").select("id", "wkb")
-    # most minutely batches touch no relation (directly or transitively);
-    # skip both relation-DAG round loops outright when the relation
-    # history is empty — one cheap probe replaces ~4 per-mode jobs
-    if rh.isEmpty():
-        empty = spark.createDataFrame([], "id long, wkb binary")
-        rel_a, rel_b = empty, empty
-    else:
-        rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
-        rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
+        rows = (
+            batch_df.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(True))
+            .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
+        )
+        rows = history.dedup_batch_union(rows)
+        nh, wh, rh = history.all_histories(rows)  # checkpointed inside
 
-    node_a = _point_wkbs(node_pts, "ax", "ay")
-    node_b = _point_wkbs(node_pts, "bx", "by")
+    with timer.time("render"):
+        node_pts = render.node_points(nh).localCheckpoint(eager=True)
+        # both way render modes in ONE explode/join/agg/kernel pass, then
+        # filter the single checkpointed result per mode — halves the
+        # heaviest per-batch chain (each mode previously paid its own
+        # explode + broadcast join + sort-collect + Arrow kernel + eager
+        # checkpoint, serialized back-to-back)
+        way_both = render.way_wkbs_both(wh, node_pts).localCheckpoint(eager=True)
+        way_a = way_both.filter(F.col("mode") == "a").select("id", "wkb")
+        way_b = way_both.filter(F.col("mode") == "b").select("id", "wkb")
+        # most minutely batches touch no relation (directly or
+        # transitively); skip both relation-DAG round loops outright when
+        # the relation history is empty — one cheap probe replaces ~4
+        # per-mode jobs
+        if rh.isEmpty():
+            empty = spark.createDataFrame([], "id long, wkb binary")
+            rel_a, rel_b = empty, empty
+        else:
+            rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
+            rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
 
-    feats = (
-        render.emit_features(nh, node_a, node_b, "node")
-        .unionByName(render.emit_features(wh, way_a, way_b, "way"))
-        .unionByName(render.emit_features(rh, rel_a, rel_b, "relation"))
-    )
+        node_a = _point_wkbs(node_pts, "ax", "ay")
+        node_b = _point_wkbs(node_pts, "bx", "by")
+
+        feats = (
+            render.emit_features(nh, node_a, node_b, "node")
+            .unionByName(render.emit_features(wh, way_a, way_b, "way"))
+            .unionByName(render.emit_features(rh, rel_a, rel_b, "relation"))
+        )
     return feats, new_edges
 
 
@@ -119,22 +138,39 @@ def run_batch(
     out_dir: str,
 ) -> dict:
     """Execute + commit one batch: features file, state/index appends,
-    lineage + metrics rows, single lineage 'commit' marker last."""
+    lineage + metrics rows, single lineage 'commit' marker last.
+
+    Compaction cadence: the state table compacts on ITS save_interval /
+    keep_snapshots; the index follows the state table's knobs (one
+    pipeline, one cadence), and the lineage/metrics tables follow the
+    LineageLog's own constructor knobs — tuning any table's cadence no
+    longer silently leaves the others on the module constants."""
     timer = StageTimer(log, spark, seq)
     batch_df = batch_df.localCheckpoint(eager=True)
 
     with timer.time("diff"):
-        feats, new_edges = compute_batch_features(spark, state, index, batch_df)
-        feats = feats.localCheckpoint(eager=True)
-        n_feats = feats.count()
+        feats, new_edges = compute_batch_features(spark, state, index, batch_df, timer=timer)
+        with timer.time("emit"):
+            feats = feats.localCheckpoint(eager=True)
+            # n_feats and the per-partition lineage rows come from ONE
+            # aggregation over the checkpoint (was two separate jobs)
+            part_counts = (
+                feats.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("row_count"))
+                .collect()
+            )
+            n_feats = sum(r["row_count"] for r in part_counts)
 
     with timer.time("write_features"):
+        # one output partition anyway (line-delimited GeoJSON sequence
+        # file) — sort WITHIN it instead of a global orderBy, which
+        # would add a range-partitioner sampling pass per batch
         ordered = feats.withColumn(
             "ord", F.when(F.col("etype") == "node", 0).when(F.col("etype") == "way", 1).otherwise(2)
-        ).orderBy("ord", "id", "sub").select("feature")
+        ).coalesce(1).sortWithinPartitions("ord", "id", "sub").select("feature")
         path = os.path.join(out_dir, f"seq={seq:09d}")
-        ordered.coalesce(1).write.mode("overwrite").text(path)
-    log.record_stage(spark, seq, "features", feats)
+        ordered.write.mode("overwrite").text(path)
+    log.record_stage_counts(seq, "features", part_counts)
 
     with timer.time("state_append"):
         state_snap = state.append_batch(batch_df, seq)
@@ -145,10 +181,8 @@ def run_batch(
         # compaction BEFORE the commit marker must carry this seq's tag,
         # or a crash here would freeze the uncommitted edges into an
         # untagged (= treated-as-committed) rollback target
-        from ..sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
-
         cid = index.maybe_compact(
-            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            spark, state.save_interval, state.keep_snapshots,
             schema=INDEX_SCHEMA, summary={"seq": seq},
         )
         if cid is not None:
@@ -156,5 +190,9 @@ def run_batch(
     log.record_stage(spark, seq, "index_append", new_edges, output_snapshot=idx_snap)
 
     log.record_metric(spark, seq, "diff", "features", float(n_feats))
-    log.commit_seq(spark, seq, {"state": state_snap, "index": idx_snap})
-    return {"seq": seq, "features": n_feats, "state_snapshot": state_snap, "index_snapshot": idx_snap, "path": path}
+    with timer.time("commit", record_to_log=False):
+        log.commit_seq(spark, seq, {"state": state_snap, "index": idx_snap})
+    return {
+        "seq": seq, "features": n_feats, "state_snapshot": state_snap,
+        "index_snapshot": idx_snap, "path": path, "stage_sec": timer.timings,
+    }

@@ -29,7 +29,24 @@ class LineageLog:
     an uncommitted batch (and per-batch snapshot-commit overhead stays
     O(1) instead of O(stages))."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, save_interval: int | None = None,
+                 keep_snapshots: int | None = None):
+        """``save_interval``/``keep_snapshots`` set this log's compaction
+        cadence (defaulting to the package constants) — threaded through
+        the constructor so a deployment that tunes the state table's
+        cadence tunes the lineage/metrics tables with the same knob
+        instead of silently keeping the module defaults."""
+        from ..sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
+
+        self.save_interval = SAVE_INTERVAL if save_interval is None else save_interval
+        self.keep_snapshots = KEEP_SNAPSHOTS if keep_snapshots is None else keep_snapshots
+        if self.keep_snapshots <= self.save_interval:
+            raise ValueError(
+                f"keep_snapshots ({self.keep_snapshots}) must exceed "
+                f"save_interval ({self.save_interval}): expiry could "
+                "otherwise reclaim every committed rollback target while "
+                "the triggering seq is still uncommitted"
+            )
         self.lineage = SnapshotTable(path + "/lineage")
         self.metrics = SnapshotTable(path + "/metrics")
         self._pending_lineage: list[tuple] = []
@@ -60,6 +77,25 @@ class LineageLog:
         else:
             self._pending_lineage.append((seq, stage, -1, input_snapshot, output_snapshot, None))
 
+    def record_stage_counts(
+        self,
+        seq: int,
+        stage: str,
+        part_counts,
+        input_snapshot: int | None = None,
+        output_snapshot: int | None = None,
+    ) -> None:
+        """Buffer ALREADY-COLLECTED per-partition counts (rows with
+        ``partition_id``/``row_count``) — for callers that computed them
+        as part of another aggregation, so lineage costs zero extra
+        jobs."""
+        for r in part_counts:
+            self._pending_lineage.append(
+                (seq, stage, r["partition_id"], input_snapshot, output_snapshot, r["row_count"])
+            )
+        if not part_counts:
+            self._pending_lineage.append((seq, stage, -1, input_snapshot, output_snapshot, 0))
+
     def commit_seq(self, spark: SparkSession, seq: int, snapshots: dict[str, int | None]) -> int:
         self._pending_lineage.append(
             (seq, COMMIT_STAGE, -1, snapshots.get("state"), snapshots.get("index"), None)
@@ -76,14 +112,12 @@ class LineageLog:
         # restart's committed_seqs() scan unions all of them.  The
         # compaction lands after this seq's commit marker, so the tag is
         # already-committed metadata (safe even if compaction crashes).
-        from ..sources.state import KEEP_SNAPSHOTS, SAVE_INTERVAL
-
         self.lineage.maybe_compact(
-            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            spark, self.save_interval, self.keep_snapshots,
             schema=LINEAGE_SCHEMA, summary={"seq": seq},
         )
         self.metrics.maybe_compact(
-            spark, SAVE_INTERVAL, KEEP_SNAPSHOTS,
+            spark, self.save_interval, self.keep_snapshots,
             schema=METRICS_SCHEMA, summary={"seq": seq},
         )
         return snap
@@ -104,11 +138,19 @@ class LineageLog:
 
 
 class StageTimer:
+    """Times pipeline stages into (a) the metrics table and (b) a local
+    ``timings`` dict run_batch returns (the per-batch latency breakdown
+    the bench's streaming soak reports).  Stages recorded after the
+    lineage flush (``record_to_log=False``, e.g. the commit itself) go
+    to the local dict only — a pending metric row there would silently
+    ride on the NEXT batch's commit."""
+
     def __init__(self, log: LineageLog, spark: SparkSession, seq: int):
         self.log, self.spark, self.seq = log, spark, seq
+        self.timings: dict[str, float] = {}
 
-    def time(self, stage: str):
-        log, spark, seq = self.log, self.spark, self.seq
+    def time(self, stage: str, record_to_log: bool = True):
+        timer = self
 
         class _Ctx:
             def __enter__(self):
@@ -116,7 +158,10 @@ class StageTimer:
                 return self
 
             def __exit__(self, *exc):
-                log.record_metric(spark, seq, stage, "wall_sec", time.time() - self.t0)
+                dt = time.time() - self.t0
+                timer.timings[stage] = round(dt, 4)
+                if record_to_log:
+                    timer.log.record_metric(timer.spark, timer.seq, stage, "wall_sec", dt)
                 return False
 
         return _Ctx()

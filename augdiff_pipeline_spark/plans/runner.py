@@ -37,7 +37,21 @@ def _rollback_uncommitted(table: SnapshotTable, committed: set[int]) -> None:
         if seq is None or seq in committed:
             target = s
     cur = snaps[-1]
-    if target is not None and target.snapshot_id != cur.snapshot_id:
+    if target is None:
+        # Every retained snapshot is tagged with an UNCOMMITTED seq:
+        # expiry has reclaimed all committed rollback targets (possible
+        # only with keep_snapshots <= save_interval, which the table
+        # constructors reject — but a hand-built manifest can still get
+        # here).  Silently skipping the rollback would let the rerun
+        # double-append the uncommitted rows; fail loudly instead.
+        raise RuntimeError(
+            f"resume cannot roll back {table.path}: newest snapshot is "
+            f"tagged with uncommitted seq {cur.summary.get('seq')!r} and "
+            "no committed rollback target survives in the manifest "
+            "(snapshot expiry outran the commit cadence — raise "
+            "keep_snapshots above save_interval)"
+        )
+    if target.snapshot_id != cur.snapshot_id:
         table.rollback_to(target.snapshot_id)
 
 

@@ -71,6 +71,14 @@ class StateTable:
     def __init__(self, path: str, save_interval: int = SAVE_INTERVAL,
                  keep_snapshots: int = KEEP_SNAPSHOTS,
                  data_format: str = "parquet"):
+        if keep_snapshots <= save_interval:
+            raise ValueError(
+                f"keep_snapshots ({keep_snapshots}) must exceed "
+                f"save_interval ({save_interval}): with a shorter expiry "
+                "horizon a compaction fired by a still-uncommitted batch "
+                "could expire every committed rollback target, and resume "
+                "after a crash would double-append the batch"
+            )
         self.table = SnapshotTable(path, data_format=data_format)
         self._writer_conf = (
             clustered_writer_orc if data_format == "orc" else clustered_writer

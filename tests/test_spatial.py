@@ -222,6 +222,29 @@ def test_tiling_assignment_and_fidelity(spark):
     assert got == exp
 
 
+def test_tile_cut_scalar_batched_equivalence(spark):
+    """The bench's A/B scalar kernel (pre-round-4 shape) and the batched
+    per-(shape, fmt) kernel must emit identical tiles — the A/B is only
+    meaningful if both compute the same thing."""
+    df = spark.createDataFrame(fixtures.image_rows(60))
+    assigned = assign_tiles(df, z=14, salt_n=4)
+    cols = ["image_id", "tix", "tiy"]
+
+    def canon(p):
+        p = p.sort_values(cols).reset_index(drop=True)
+        p["tile_bytes"] = p["tile_bytes"].map(bytes)
+        return p
+
+    a = canon(cut_tiles(assigned, tile_px=16, batched=True).toPandas())
+    b = canon(cut_tiles(assigned, tile_px=16, batched=False).toPandas())
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        if c == "psnr_db":
+            assert np.allclose(a[c].to_numpy(), b[c].to_numpy())
+        else:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
 def test_image_codec_invariants():
     rng = np.random.default_rng(5)
     arr = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
