@@ -194,6 +194,38 @@ def test_rollback_skips_uncommitted_compaction(spark, tmp_path):
     assert sdf.select("id", "type", "version").distinct().count() == sdf.count()
 
 
+def test_rollback_raises_when_no_committed_target_survives(spark, tmp_path):
+    """If every retained snapshot is tagged with an uncommitted seq
+    (possible only via a hand-built manifest — the constructors reject
+    keep_snapshots <= save_interval), resume must FAIL, not silently
+    skip the rollback and let the rerun double-append."""
+    import pytest
+
+    from augdiff_pipeline_spark.plans.runner import _rollback_uncommitted
+    from augdiff_pipeline_spark.sources.catalog import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = fixtures.base_state_df(spark).limit(3)
+    t.append(df, summary={"seq": 7})
+    t.append(df, summary={"seq": 8})
+    with pytest.raises(RuntimeError, match="no committed rollback target"):
+        _rollback_uncommitted(t, committed=set())
+
+
+def test_cadence_validation_rejects_short_expiry(tmp_path):
+    """keep_snapshots <= save_interval could expire every committed
+    rollback target mid-batch — both constructors refuse it."""
+    import pytest
+
+    from augdiff_pipeline_spark.plans.lineage import LineageLog
+    from augdiff_pipeline_spark.sources.state import StateTable
+
+    with pytest.raises(ValueError, match="must exceed"):
+        StateTable(str(tmp_path / "s"), save_interval=5, keep_snapshots=5)
+    with pytest.raises(ValueError, match="must exceed"):
+        LineageLog(str(tmp_path / "l"), save_interval=4, keep_snapshots=2)
+
+
 def test_orc_state_table_roundtrip_and_pruning(spark, tmp_path):
     """ORC storage parity (the reference is ORC end-to-end,
     OrcBackend.scala): same snapshot/cluster/lookup contract, reference
