@@ -197,8 +197,12 @@ def relation_histories(
             F.coalesce(F.bool_or(F.coalesce(F.col("c_rw"), F.lit(False))), F.lit(False)).alias("any_child_rw"),
             F.coalesce(F.bool_and(F.coalesce(F.col("c_rb"), F.lit(False))), F.lit(True)).alias("all_child_rb"),
         )
+        # the previous round's flags join INTO the checkpointed plan so
+        # the convergence test is a scan of the checkpoint (zero-shuffle
+        # job) instead of a separate join job per round
         nxt = (
             base.join(child, "id", "left")
+            .join(state.select(F.col("id"), F.col("rw").alias("p_rw"), F.col("rb").alias("p_rb")), "id")
             .select(
                 "id",
                 (
@@ -209,16 +213,15 @@ def relation_histories(
                     (~F.col("in_batch")) & F.col("all_nw_before")
                     & F.coalesce(F.col("all_child_rb"), F.lit(True))
                 ).alias("rb"),
+                "p_rw",
+                "p_rb",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(state.alias("s"), "id")
-            .filter((F.col("n.rw") != F.col("s.rw")) | (F.col("n.rb") != F.col("s.rb")))
-            .count()
-        )
-        state = nxt
+        changed = nxt.filter(
+            (F.col("rw") != F.col("p_rw")) | (F.col("rb") != F.col("p_rb"))
+        ).count()
+        state = nxt.select("id", "rw", "rb")
         if changed == 0:
             break
     rw_rb = state  # per relation id, from its LATEST row
@@ -281,10 +284,38 @@ def relation_histories(
     return _histories(rels2, "w_ok", "b_ok")
 
 
-def all_histories(rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(node_hist, way_hist, rel_hist) from the deduped batch∪state rows."""
+def _empty_history(spark) -> DataFrame:
+    from ..schemas import HISTORY_SCHEMA
+
+    return spark.createDataFrame([], HISTORY_SCHEMA)
+
+
+def all_histories(rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, set]:
+    """(node_hist, way_hist, rel_hist, present_types) from the deduped
+    batch∪state rows.  ``present_types`` ⊆ {node, way, relation} lets the
+    caller skip downstream per-type work (way/relation rendering) without
+    re-probing the frames.
+
+    Type-emptiness early-exit: one cheap aggregate over the checkpointed
+    rows decides which builders run at all — most minutely batches touch
+    no relation (and node-only batches touch no way), and each skipped
+    builder skips several jobs (its own checkpoints, and for relations
+    the member-table checkpoints + fixpoint machinery).  The empty
+    history is a LOCAL relation, so downstream emptiness probes cost
+    nothing."""
+    spark = rows.sparkSession
     rows = rows.localCheckpoint(eager=True)
+    present = {
+        r["type"]
+        for r in rows.select("type").distinct().collect()
+    }
     nh = node_histories(rows).localCheckpoint(eager=True)
-    wh = way_histories(rows, nh).localCheckpoint(eager=True)
-    rh = relation_histories(rows, nh, wh).localCheckpoint(eager=True)
-    return nh, wh, rh
+    if "way" in present:
+        wh = way_histories(rows, nh).localCheckpoint(eager=True)
+    else:
+        wh = _empty_history(spark)
+    if "relation" in present:
+        rh = relation_histories(rows, nh, wh).localCheckpoint(eager=True)
+    else:
+        rh = _empty_history(spark)
+    return nh, wh, rh, present

@@ -61,39 +61,53 @@ def compute_batch_features(
     timer = timer or _NullTimer()
     with timer.time("closure"):
         index_df = index.read(spark, schema=INDEX_SCHEMA)
-        new_edges, all_edges = incremental_closure(index_df, batch_df)
-        new_edges = new_edges.localCheckpoint(eager=True)
+        new_edges, all_edges, fetch_keys, new_edge_rows = incremental_closure(
+            index_df, batch_df, return_keys=True
+        )
+        if new_edge_rows is None:
+            # distributed path: materialize before the anti-join plan is
+            # consumed twice (index append + lineage).  The small path's
+            # new_edges is a local relation — already materialized.
+            new_edges = new_edges.localCheckpoint(eager=True)
     with timer.time("histories"):
-        pairs = needed_pairs(batch_df, all_edges)
-        fetched = state.fetch_pairs(spark, pairs)
+        if fetch_keys is not None:
+            # small-closure path: the fetch-key set rode the closure's
+            # own Arrow collect — zero extra probe jobs
+            fetched = state.fetch_keys(spark, fetch_keys)
+        else:
+            pairs = needed_pairs(batch_df, all_edges)
+            fetched = state.fetch_pairs(spark, pairs)
 
         rows = (
             batch_df.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(True))
             .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
         )
         rows = history.dedup_batch_union(rows)
-        nh, wh, rh = history.all_histories(rows)  # checkpointed inside
+        nh, wh, rh, present = history.all_histories(rows)  # checkpointed inside
 
     with timer.time("render"):
         node_pts = render.node_points(nh).localCheckpoint(eager=True)
-        # both way render modes in ONE explode/join/agg/kernel pass, then
-        # filter the single checkpointed result per mode — halves the
-        # heaviest per-batch chain (each mode previously paid its own
-        # explode + broadcast join + sort-collect + Arrow kernel + eager
-        # checkpoint, serialized back-to-back)
-        way_both = render.way_wkbs_both(wh, node_pts).localCheckpoint(eager=True)
-        way_a = way_both.filter(F.col("mode") == "a").select("id", "wkb")
-        way_b = way_both.filter(F.col("mode") == "b").select("id", "wkb")
-        # most minutely batches touch no relation (directly or
-        # transitively); skip both relation-DAG round loops outright when
-        # the relation history is empty — one cheap probe replaces ~4
-        # per-mode jobs
-        if rh.isEmpty():
-            empty = spark.createDataFrame([], "id long, wkb binary")
-            rel_a, rel_b = empty, empty
+        empty_wkb = spark.createDataFrame([], "id long, wkb binary")
+        # per-type skip (driven by all_histories' one presence probe —
+        # no per-frame isEmpty jobs): most minutely batches touch no
+        # relation, node-only batches touch no way; each skipped mode
+        # skips an explode/join/agg/kernel chain + its checkpoint
+        if "way" in present:
+            # both way render modes in ONE explode/join/agg/kernel pass,
+            # then filter the single checkpointed result per mode —
+            # halves the heaviest per-batch chain (each mode previously
+            # paid its own explode + broadcast join + sort-collect +
+            # Arrow kernel + eager checkpoint, serialized back-to-back)
+            way_both = render.way_wkbs_both(wh, node_pts).localCheckpoint(eager=True)
+            way_a = way_both.filter(F.col("mode") == "a").select("id", "wkb")
+            way_b = way_both.filter(F.col("mode") == "b").select("id", "wkb")
         else:
+            way_a, way_b = empty_wkb, empty_wkb
+        if "relation" in present:
             rel_a = render.relation_wkbs(rh, node_pts, way_a, "after")
             rel_b = render.relation_wkbs(rh, node_pts, way_b, "before")
+        else:
+            rel_a, rel_b = empty_wkb, empty_wkb
 
         node_a = _point_wkbs(node_pts, "ax", "ay")
         node_b = _point_wkbs(node_pts, "bx", "by")
@@ -103,7 +117,7 @@ def compute_batch_features(
             .unionByName(render.emit_features(wh, way_a, way_b, "way"))
             .unionByName(render.emit_features(rh, rel_a, rel_b, "relation"))
         )
-    return feats, new_edges
+    return feats, new_edges, new_edge_rows
 
 
 def _point_wkbs(node_pts: DataFrame, xcol: str, ycol: str) -> DataFrame:
@@ -149,7 +163,9 @@ def run_batch(
     batch_df = batch_df.localCheckpoint(eager=True)
 
     with timer.time("diff"):
-        feats, new_edges = compute_batch_features(spark, state, index, batch_df, timer=timer)
+        feats, new_edges, new_edge_rows = compute_batch_features(
+            spark, state, index, batch_df, timer=timer
+        )
         with timer.time("emit"):
             feats = feats.localCheckpoint(eager=True)
             # n_feats and the per-partition lineage rows come from ONE
@@ -177,7 +193,19 @@ def run_batch(
     log.record_stage(spark, seq, "state_append", batch_df, output_snapshot=state_snap)
 
     with timer.time("index_append"):
-        idx_snap = index.append(new_edges, summary={"seq": seq})
+        if new_edge_rows is not None:
+            # small-closure path: the new edges are a driver-held list —
+            # write them driver-side (no Spark job), and the lineage row
+            # count comes for free
+            import pyarrow as pa
+
+            idx_snap = index.append_local(
+                new_edge_rows,
+                pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+                summary={"seq": seq},
+            )
+        else:
+            idx_snap = index.append(new_edges, summary={"seq": seq})
         # compaction BEFORE the commit marker must carry this seq's tag,
         # or a crash here would freeze the uncommitted edges into an
         # untagged (= treated-as-committed) rollback target
@@ -187,7 +215,14 @@ def run_batch(
         )
         if cid is not None:
             idx_snap = cid
-    log.record_stage(spark, seq, "index_append", new_edges, output_snapshot=idx_snap)
+    if new_edge_rows is not None:
+        log.record_stage_counts(
+            seq, "index_append",
+            [{"partition_id": -1, "row_count": len(new_edge_rows)}],
+            output_snapshot=idx_snap,
+        )
+    else:
+        log.record_stage(spark, seq, "index_append", new_edges, output_snapshot=idx_snap)
 
     log.record_metric(spark, seq, "diff", "features", float(n_feats))
     with timer.time("commit", record_to_log=False):

@@ -22,6 +22,34 @@ from ..sources.catalog import SnapshotTable
 COMMIT_STAGE = "commit"
 
 
+def _arrow_lineage_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("seq", pa.int64()),
+            pa.field("stage", pa.string()),
+            pa.field("partition_id", pa.int32()),
+            pa.field("input_snapshot", pa.int64()),
+            pa.field("output_snapshot", pa.int64()),
+            pa.field("row_count", pa.int64()),
+        ]
+    )
+
+
+def _arrow_metrics_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("seq", pa.int64()),
+            pa.field("stage", pa.string()),
+            pa.field("metric", pa.string()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+
+
 class LineageLog:
     """Buffers per-stage rows in memory and flushes ONE lineage append +
     ONE metrics append at commit time — the commit marker row is part of
@@ -51,6 +79,11 @@ class LineageLog:
         self.metrics = SnapshotTable(path + "/metrics")
         self._pending_lineage: list[tuple] = []
         self._pending_metrics: list[tuple] = []
+        self._commits_since_metrics_flush = 0
+        # committed-seq cache: resume_and_run asks per batch; the table
+        # scan runs once per LineageLog instance (a fresh instance after
+        # a crash re-reads from disk), then commits update it in memory
+        self._committed_cache: set[int] | None = None
 
     def record_stage(
         self,
@@ -100,13 +133,26 @@ class LineageLog:
         self._pending_lineage.append(
             (seq, COMMIT_STAGE, -1, snapshots.get("state"), snapshots.get("index"), None)
         )
-        df = spark.createDataFrame(self._pending_lineage, LINEAGE_SCHEMA)
-        snap = self.lineage.append(df.coalesce(1), summary={"seq": seq, "stage": COMMIT_STAGE})
+        # driver-local parquet append: the commit rows already live on
+        # the driver — a Spark write job here costs seconds of pure job
+        # machinery per minutely batch (round-5 soak profile)
+        snap = self.lineage.append_local(
+            self._pending_lineage, _arrow_lineage_schema(),
+            summary={"seq": seq, "stage": COMMIT_STAGE},
+        )
         self._pending_lineage = []
-        if self._pending_metrics:
-            mdf = spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA)
-            self.metrics.append(mdf.coalesce(1), summary={"seq": seq})
-            self._pending_metrics = []
+        if self._committed_cache is not None:
+            self._committed_cache.add(seq)
+        # Metrics flush on the save_interval cadence, not per batch: the
+        # lineage append (above) is the COMMIT — it must be durable every
+        # batch for resume — but metrics are observability, and on a host
+        # where every tiny write job costs seconds, a per-batch metrics
+        # append was ~25% of steady-state batch latency (round-5 soak
+        # profile).  A crash loses at most save_interval batches of
+        # buffered metric rows, never a commit marker.
+        self._commits_since_metrics_flush += 1
+        if self._pending_metrics and self._commits_since_metrics_flush >= self.save_interval:
+            self.flush_metrics(spark, seq)
         # steady-state dir bound: one append per minutely batch would
         # otherwise leave one directory per batch forever, and EVERY
         # restart's committed_seqs() scan unions all of them.  The
@@ -116,21 +162,37 @@ class LineageLog:
             spark, self.save_interval, self.keep_snapshots,
             schema=LINEAGE_SCHEMA, summary={"seq": seq},
         )
+        return snap
+
+    def flush_metrics(self, spark: SparkSession, seq: int) -> None:
+        """Append all buffered metric rows (tagged by their own seqs) and
+        run the metrics table's compaction check.  Called automatically
+        every ``save_interval`` commits; call directly to force a flush
+        (e.g. at the end of a driver run)."""
+        if self._pending_metrics:
+            self.metrics.append_local(
+                self._pending_metrics, _arrow_metrics_schema(), summary={"seq": seq}
+            )
+            self._pending_metrics = []
+        self._commits_since_metrics_flush = 0
         self.metrics.maybe_compact(
             spark, self.save_interval, self.keep_snapshots,
             schema=METRICS_SCHEMA, summary={"seq": seq},
         )
-        return snap
 
     def record_metric(self, spark: SparkSession, seq: int, stage: str, metric: str, value: float) -> None:
         self._pending_metrics.append((seq, stage, metric, float(value)))
 
     def committed_seqs(self, spark: SparkSession) -> list[int]:
+        if self._committed_cache is not None:
+            return sorted(self._committed_cache)
         if not self.lineage.exists():
+            self._committed_cache = set()
             return []
         df = self.lineage.read(spark, schema=LINEAGE_SCHEMA)
         rows = df.filter(F.col("stage") == COMMIT_STAGE).select("seq").distinct().collect()
-        return sorted(r["seq"] for r in rows)
+        self._committed_cache = {r["seq"] for r in rows}
+        return sorted(self._committed_cache)
 
     def last_committed(self, spark: SparkSession) -> int | None:
         seqs = self.committed_seqs(spark)

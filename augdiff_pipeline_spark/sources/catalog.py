@@ -86,6 +86,47 @@ class SnapshotTable:
         writer.format(self.data_format).save(d)
         return d
 
+    def append_local(self, rows: list[tuple], arrow_schema,
+                     operation: str = "append",
+                     summary: dict | None = None) -> int:
+        """Append DRIVER-LOCAL rows as one parquet file via pyarrow — no
+        Spark job.  For the tiny per-batch bookkeeping appends (lineage
+        rows, metric rows, a small batch's new index edges): a Spark
+        write job for a handful of rows costs seconds of pure job
+        machinery (measured: ~2.5 s/write on the round-5 soak profile)
+        while a driver-side parquet write costs milliseconds.  The file
+        is bit-compatible with the Spark reader (types follow
+        ``arrow_schema``), and the manifest commit is the same atomic
+        ``os.replace``.  Only valid for rows the driver already holds —
+        distributed frames keep using ``append``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
+        os.makedirs(d, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+        tbl = pa.table(
+            {f.name: pa.array(list(c), type=f.type)
+             for f, c in zip(arrow_schema, cols)}
+        )
+        if self.data_format == "orc":
+            from pyarrow import orc
+
+            orc.write_table(tbl, os.path.join(d, "part-00000.orc"))
+        else:
+            pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+        cur = self.current()
+        snap = Snapshot(
+            snapshot_id=(cur.snapshot_id + 1) if cur else 1,
+            parent_id=cur.snapshot_id if cur else None,
+            operation=operation,
+            data_dirs=(cur.data_dirs if cur else []) + [d],
+            committed_at_ms=int(time.time() * 1000),
+            summary=summary or {},
+        )
+        self._commit(snap)
+        return snap.snapshot_id
+
     def append(self, df: DataFrame, operation: str = "append", summary: dict | None = None, writer_conf=None) -> int:
         d = self._write_data(df, writer_conf)
         cur = self.current()

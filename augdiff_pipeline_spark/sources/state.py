@@ -51,6 +51,28 @@ def clustered_writer_orc(writer):
     )
 
 
+def delta_writer(writer):
+    # per-batch DELTA append: same bloom/dictionary skipping, but NO
+    # partitionBy layout — a minutely batch is a handful of rows, and a
+    # dynamic-partition write (shuffle + one dir per p value) costs a
+    # multiple of a straight file write for zero read benefit at that
+    # size (the p COLUMN is still present, so row-group stats and the
+    # p-IN-list filter still prune).  Compaction re-clusters everything
+    # into the partitionBy("p") layout every save_interval batches, so
+    # the steady-state table keeps directory pruning.
+    return (
+        writer.option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.enable.dictionary", "true")
+    )
+
+
+def delta_writer_orc(writer):
+    return (
+        writer.option("orc.bloom.filter.columns", "id")
+        .option("orc.row.index.stride", "1000")
+    )
+
+
 # compact every N appended batches (reference: saveInterval=5 flush +
 # re-cluster cadence, AugmentedDiff.scala:226-233) and keep this many
 # snapshots time-travelable before expiry reclaims their files
@@ -83,6 +105,9 @@ class StateTable:
         self._writer_conf = (
             clustered_writer_orc if data_format == "orc" else clustered_writer
         )
+        self._delta_writer_conf = (
+            delta_writer_orc if data_format == "orc" else delta_writer
+        )
         self.save_interval = save_interval
         self.keep_snapshots = keep_snapshots
 
@@ -90,9 +115,15 @@ class StateTable:
         return self.table.overwrite(self._cluster(df), writer_conf=self._writer_conf)
 
     def append_batch(self, df: DataFrame, seq: int) -> int:
+        # delta append: p column + in-partition sort, NO shuffle and no
+        # dynamic-partition dirs (see delta_writer); compaction below
+        # folds deltas back into the clustered partitionBy layout
+        delta = df.withColumn(
+            "p", partition_number(F.col("id"), F.col("type"))
+        ).sortWithinPartitions("p", "id", "type")
         sid = self.table.append(
-            self._cluster(df), operation="append", summary={"seq": seq},
-            writer_conf=self._writer_conf,
+            delta, operation="append", summary={"seq": seq},
+            writer_conf=self._delta_writer_conf,
         )
         # the compact snapshot inherits the triggering seq tag: until the
         # lineage commit marker lands this seq is uncommitted, and an
@@ -130,38 +161,55 @@ class StateTable:
         skipping into the parquet scan before the join runs (the
         DataFrame twin of the reference's ORC SearchArgument).
         """
-        state = self.read(spark, snapshot_id)
-        key_col = pair_to_long(F.col("id"), F.col("type"))
         keys = keys.select("k").distinct()
-
         key_rows = keys.limit(MAX_ENUMERATED_KEYS + 1).collect()
         if len(key_rows) <= MAX_ENUMERATED_KEYS:
-            ids = sorted({r["k"] >> 2 for r in key_rows})
-            if ids:
-                state = state.filter(F.col("id").isin(ids))  # pushed to scan
-                # reference pfLimit=150 partition filters
-                # (Common.scala:30): enumerate the partitions the keys
-                # can live in so the p=... DIRECTORY listing prunes
-                # before any footer is opened
-                from ..functions.packing import partition_number_py
-                from ..schemas import CODE_TYPES
-
-                # keys with an invalid type code (low bits not 0|1|2)
-                # can never match a state row — they contribute no
-                # partition, which is correct
-                ps = sorted(
-                    {
-                        partition_number_py(r["k"] >> 2, CODE_TYPES[r["k"] & 3])
-                        for r in key_rows
-                        if (r["k"] & 3) in CODE_TYPES
-                    }
-                )
-                if not ps:
-                    return state.limit(0)
-                if len(ps) <= MAX_ENUMERATED_PARTITIONS:
-                    state = state.filter(F.col("p").isin(ps))
-            else:
-                return state.limit(0)
+            return self.fetch_keys(spark, [r["k"] for r in key_rows], snapshot_id)
+        state = self.read(spark, snapshot_id)
+        key_col = pair_to_long(F.col("id"), F.col("type"))
         return state.join(
             F.broadcast(keys), on=key_col == F.col("k"), how="left_semi"
+        )
+
+    def fetch_keys(
+        self,
+        spark: SparkSession,
+        key_list: list[int],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """``fetch_pairs`` with a DRIVER-side packed-key list — zero
+        probe jobs (the caller already holds the keys, e.g. from the
+        incremental closure's small path).  Same pushdown: IN-list on
+        id + pfLimit-style partition enumeration + broadcast semi-join.
+        """
+        state = self.read(spark, snapshot_id)
+        key_col = pair_to_long(F.col("id"), F.col("type"))
+        uniq = sorted({int(k) for k in key_list})
+        if not uniq:
+            return state.limit(0)
+        keys_df = spark.createDataFrame([(k,) for k in uniq], "k long")
+        if len(uniq) <= MAX_ENUMERATED_KEYS:
+            state = state.filter(F.col("id").isin(sorted({k >> 2 for k in uniq})))
+            # reference pfLimit=150 partition filters (Common.scala:30):
+            # enumerate the partitions the keys can live in so the p=...
+            # DIRECTORY listing prunes before any footer is opened
+            from ..functions.packing import partition_number_py
+            from ..schemas import CODE_TYPES
+
+            # keys with an invalid type code (low bits not 0|1|2) can
+            # never match a state row — they contribute no partition,
+            # which is correct
+            ps = sorted(
+                {
+                    partition_number_py(k >> 2, CODE_TYPES[k & 3])
+                    for k in uniq
+                    if (k & 3) in CODE_TYPES
+                }
+            )
+            if not ps:
+                return state.limit(0)
+            if len(ps) <= MAX_ENUMERATED_PARTITIONS:
+                state = state.filter(F.col("p").isin(ps))
+        return state.join(
+            F.broadcast(keys_df), on=key_col == F.col("k"), how="left_semi"
         )

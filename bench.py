@@ -223,9 +223,10 @@ def main() -> None:
     # the documented ballooned-VM drift (BASELINE.md methodology): if
     # calib moved 2x between rounds, so did every other number.
     def calib():
+        # pmod bounds the sum far below long overflow (ANSI mode throws)
         return (
             spark.range(0, 400_000_000)
-            .select(F.xxhash64("id").alias("h"))
+            .select(F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("h"))
             .agg(F.sum("h"))
             .collect()
         )
