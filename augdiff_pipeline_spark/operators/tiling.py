@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 from ..functions import mercator
 from . import images as imgcodec
 
+_ERR2_LUT = None
+
+
+def _err2_lut() -> np.ndarray:
+    """(256,) squared quantization error of the stub codec's lossy path,
+    built FROM the codec itself so it can never drift from it.  The
+    stub's decode error is a pure function of the source pixel value, so
+    per-tile MSE is one uint8 LUT gather + a mean — no decoded float64
+    image copy (the gather's temporaries are 4x smaller and
+    arena-friendly, which matters on the fault-taxed bench host and is
+    simply less memory traffic everywhere else)."""
+    global _ERR2_LUT
+    if _ERR2_LUT is None:
+        v = np.arange(256, dtype=np.uint8)
+        err = imgcodec.lossy_roundtrip(v).astype(np.int32) - v.astype(np.int32)
+        _ERR2_LUT = (err * err).astype(np.uint16)
+    return _ERR2_LUT
+
 
 def assign_tiles(images: DataFrame, z: int, salt_n: int = 8) -> DataFrame:
     xt, yt = mercator.tile_cols(F.col("lon"), F.col("lat"), z)
@@ -132,18 +150,13 @@ def cut_tiles(
                     if fmt == "png":
                         psnrs = np.full((m, nt), 99.0)
                     else:
-                        # PSNR analytically from the quantization error
-                        # (the stub's lossy decode is exactly
-                        # quantize+offset — no byte round trip needed)
-                        dec = imgcodec.lossy_roundtrip(padded)
-                        err = dec.astype(np.float64) - padded.astype(np.float64)
-                        mse = (
-                            (err * err)
-                            .reshape(m, nty, tile_px, ntx, tile_px, 3)
-                            .transpose(0, 1, 3, 2, 4, 5)
-                            .reshape(m, nt, -1)
-                            .mean(axis=2)
-                        )
+                        # PSNR analytically from the quantization error:
+                        # the stub's decode error is a pure function of
+                        # the source value, so per-tile MSE is one LUT
+                        # gather over the already-tiled grid (no decoded
+                        # image copy, no float64 temporaries)
+                        e2 = _err2_lut()[grid]
+                        mse = e2.reshape(m, nt, -1).mean(axis=2)
                         with np.errstate(divide="ignore"):
                             psnrs = np.minimum(
                                 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-12)), 99.0

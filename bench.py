@@ -112,6 +112,55 @@ def build_meta_table(spark, n: int, cache_dir: str = "/tmp/spark_graft_bench_cac
     return spark.read.parquet(path)
 
 
+def build_docs_table(spark, n: int, cache_dir: str = "/tmp/spark_graft_bench_cache"):
+    """Deterministic synthetic documents table for scaling runs: the sf
+    tables' documents are too small (5k rows at sf0.1) for the minhash
+    kernel to dominate fixed job overhead at 1 core, so scaling evidence
+    uses an n-row corpus (~300 chars/doc, ~10% near-duplicates so LSH
+    buckets and the verify stage do real work)."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(cache_dir, f"docs_n{n}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+
+    chunk = max(10_000, n // 64)
+    sdf = spark.createDataFrame(
+        [(s, min(chunk, n - s)) for s in range(0, n, chunk)], "start long, cnt long"
+    ).repartition(64)
+
+    def gen(it):
+        vocab = None
+        for pdf in it:
+            for s, c in zip(pdf["start"], pdf["cnt"]):
+                s, c = int(s), int(c)
+                rng = np.random.default_rng(991 + s)
+                if vocab is None:
+                    vrng = np.random.default_rng(17)
+                    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+                    vocab = np.array([
+                        "".join(vrng.choice(letters, vrng.integers(3, 9)))
+                        for _ in range(4096)
+                    ])
+                words = rng.integers(0, len(vocab), (c, 45))
+                texts = [" ".join(vocab[w]) for w in words]
+                # ~10% near-duplicates: re-emit an earlier doc in the
+                # chunk with one word changed
+                dup = rng.random(c) < 0.1
+                for i in np.flatnonzero(dup):
+                    j = int(rng.integers(0, max(i, 1)))
+                    w = words[j].copy()
+                    w[int(rng.integers(0, 45))] = int(rng.integers(0, len(vocab)))
+                    texts[i] = " ".join(vocab[w])
+                yield pd.DataFrame(
+                    {"doc_id": np.arange(s, s + c, dtype=np.int64), "text": texts}
+                )
+
+    sdf.mapInPandas(gen, "doc_id long, text string").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -388,6 +437,14 @@ def main() -> None:
     # more from bigger Arrow batches than from finer scheduling, and
     # each extra mapInPandas task costs ~100ms fixed (measured; see
     # BASELINE.md methodology).
+    if scaling_mode and (not only or "minhash" in only):
+        # scaled corpus (see build_docs_table): per-core kernel work must
+        # dominate fixed job overhead for the N->4N ratio to measure the
+        # PLAN rather than the scheduler
+        docs = build_docs_table(
+            spark, int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+        )
+
     def mh(**kw):
         return minhash_lsh_pairs(
             docs.repartition(cpus), num_perm=128, bands=32, jaccard_threshold=0.5, **kw
@@ -397,9 +454,13 @@ def main() -> None:
     # #1): the fused single-pass plan (headline) vs the round-3 shape —
     # bucket pairs shuffled + joined back onto text, forced by zeroing
     # the broadcast budget.  Both routes are output-identical
-    # (route-parity-tested); the artifact records both mins.
-    ab_timed("minhash", mh, "fused",
-             lambda: mh(max_shingle_broadcast_bytes=0), "r3shape")
+    # (route-parity-tested); the artifact records both mins.  Scaling
+    # runs time only the headline plan.
+    if scaling_mode:
+        timed("minhash", mh)
+    else:
+        ab_timed("minhash", mh, "fused",
+                 lambda: mh(max_shingle_broadcast_bytes=0), "r3shape")
 
     # steady-state streaming batch latency: drive the full augdiff
     # micro-batch pipeline (closure -> point-lookup -> histories ->

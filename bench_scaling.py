@@ -19,7 +19,7 @@ import os
 import subprocess
 import sys
 
-HEADLINE = ["pip_tile", "pip_scan", "knn", "tile_cut"]
+HEADLINE = ["pip_tile", "pip_scan", "knn", "tile_cut", "minhash"]
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
