@@ -77,6 +77,68 @@ def brute_force_topk(
     )
 
 
+def _hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
+    """The (n_bits, dim) random-hyperplane matrix — one function so the
+    index side (hyperplane_signatures) and the query-side multi-probe
+    key generator (_probe_keys) always agree bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _probe_keys(
+    qn: np.ndarray, planes: np.ndarray, bands: int, n_probes: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-probe key generation (Lv et al., "Multi-probe LSH",
+    VLDB 2007 — public paper; pattern only, no code copied): for each
+    (query, band), beside the base signature key, probe the buckets
+    reached by flipping the lowest-|margin| bits — the hyperplanes the
+    query sits closest to, i.e. the buckets its near neighbors most
+    likely fell into.  Query-side only: the INDEX keeps one signature
+    row per (vec, band), so recall rises with zero index-side cost.
+
+    Returns parallel arrays (q_idx, band, key) covering base + probe
+    keys.  Probes are ranked by summed flipped margin over all single-
+    and double-bit flips (bits_per_band is small, so exhaustive
+    enumeration of ≤ b + b(b-1)/2 candidates beats the paper's heap).
+    """
+    bits_per_band = planes.shape[0] // bands
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    proj = qn @ planes.T  # (nq, n_bits)
+    bits = proj > 0
+    margins = np.abs(proj)
+    # candidate flip sets: all singles and pairs within a band
+    singles = [(m,) for m in range(bits_per_band)]
+    pairs = [
+        (i, j) for i in range(bits_per_band) for j in range(i + 1, bits_per_band)
+    ]
+    flip_sets = singles + pairs
+    flip_masks = np.array(
+        [int(sum(weights[list(s)])) for s in flip_sets], dtype=np.int64
+    )
+    # (len(flip_sets), bits_per_band) 0/1 selector for margin sums
+    sel = np.zeros((len(flip_sets), bits_per_band))
+    for fi, s in enumerate(flip_sets):
+        sel[fi, list(s)] = 1.0
+    out_q, out_b, out_k = [], [], []
+    nq = qn.shape[0]
+    for b in range(bands):
+        chunk_bits = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+        base = (chunk_bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+        out_q.append(np.arange(nq, dtype=np.int64))
+        out_b.append(np.full(nq, b, dtype=np.int64))
+        out_k.append(base)
+        if n_probes <= 0:
+            continue
+        m = margins[:, b * bits_per_band : (b + 1) * bits_per_band]  # (nq, bpb)
+        scores = m @ sel.T  # (nq, n_flip_sets): summed margin per flip set
+        take = min(n_probes, len(flip_sets))
+        top = np.argpartition(scores, take - 1, axis=1)[:, :take]  # smallest sums
+        out_q.append(np.repeat(np.arange(nq, dtype=np.int64), take))
+        out_b.append(np.full(nq * take, b, dtype=np.int64))
+        out_k.append((base[:, None] ^ flip_masks[top]).ravel())
+    return np.concatenate(out_q), np.concatenate(out_b), np.concatenate(out_k)
+
+
 def hyperplane_signatures(
     embeddings: DataFrame, n_bits: int = 64, bands: int = 8, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
@@ -85,8 +147,7 @@ def hyperplane_signatures(
     spark = embeddings.sparkSession
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = _hyperplanes(n_bits, dim, seed)
     bc = spark.sparkContext.broadcast(planes)
     bits_per_band = n_bits // bands
 
@@ -123,6 +184,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    n_probes: int = 0,
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: candidates via band equi-join, exact refine.
 
@@ -130,11 +193,31 @@ def lsh_topk(
     drops signature buckets with more members before the refine — a
     degenerate hot bucket would otherwise flood the candidate set with
     bucket-size rows PER QUERY; capped vectors still reach queries
-    through their other, more selective bands."""
-    sigs = hyperplane_signatures(embeddings, n_bits, bands, id_col=id_col, vec_col=vec_col)
-    qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), "band", "key"
+    through their other, more selective bands.
+
+    ``n_probes`` > 0 enables query-side multi-probe (see _probe_keys):
+    per band, the ``n_probes`` nearest-margin bit-flip buckets are
+    probed in addition to the base bucket.  Candidate volume grows
+    ~(1 + n_probes)x on the QUERY side only — the index signature table
+    and its shuffle are unchanged, which is the whole point at corpus
+    scale (the alternative, more bands, grows the index side too)."""
+    sigs = hyperplane_signatures(
+        embeddings, n_bits, bands, seed=seed, id_col=id_col, vec_col=vec_col
     )
+    if n_probes > 0:
+        spark = embeddings.sparkSession
+        qids, qn = _collect_queries(embeddings, query_ids, id_col, vec_col)
+        dim = qn.shape[1]
+        qi, qb, qk = _probe_keys(qn, _hyperplanes(n_bits, dim, seed), bands, n_probes)
+        qs = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": qids[qi], "band": qb.astype(np.int32), "key": qk}
+            )
+        ).distinct()
+    else:
+        qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), "band", "key"
+        )
     if max_bucket is not None:
         # bucket size = MEMBERSHIP of (band, key) in sigs, measured
         # BEFORE the query join (counting the joined result instead

@@ -50,6 +50,12 @@ def main() -> None:
 
     results = {
         "lsh_bands8": recall_at_k(truth, lsh_topk(emb, qids, k=K, bands=8)),
+        "lsh_bands8_probe8": recall_at_k(
+            truth, lsh_topk(emb, qids, k=K, bands=8, n_probes=8)
+        ),
+        "lsh_bands8_probe16": recall_at_k(
+            truth, lsh_topk(emb, qids, k=K, bands=8, n_probes=16)
+        ),
     }
     for nprobe in (1, 4, 16):
         results[f"ivf_nprobe{nprobe}"] = recall_at_k(
@@ -81,14 +87,25 @@ def _write_md(r: dict) -> None:
         "",
         "| config | recall@10 |",
         "|---|---|",
-        f"| lsh_topk bands=8 (scale config) | {r['recall']['lsh_bands8']} |",
+        f"| lsh_topk bands=8, no probes | {r['recall']['lsh_bands8']} |",
+        f"| lsh_topk bands=8, n_probes=8 | {r['recall']['lsh_bands8_probe8']} |",
+        f"| **lsh_topk bands=8, n_probes=16 (scale config)** | {r['recall']['lsh_bands8_probe16']} |",
         f"| ivf_topk nprobe=1 | {r['recall']['ivf_nprobe1']} |",
         f"| ivf_topk nprobe=4 | {r['recall']['ivf_nprobe4']} |",
         f"| ivf_topk nprobe=16 (full probe at 16 centroids) | {r['recall']['ivf_nprobe16']} |",
         "",
-        "The pytest floors (`tests/test_dataops.py`) are set just below "
-        "these measured values so a recall regression in either index "
-        "fails the suite, not just the bench.",
+        "This corpus is the HARD case for hyperplane LSH: the synthetic "
+        "embeddings are near-isotropic (no cluster structure), so a "
+        "query's true top-10 sit at modest cosine (~0.4-0.5) where an "
+        "8-bit band collides rarely.  Query-side multi-probe "
+        "(`n_probes`, Lv et al. VLDB'07) recovers the recall at zero "
+        "index-side cost: probes grow only the per-query candidate "
+        "list, never the signature table or its shuffle — at corpus "
+        "scale that is the difference between re-sharding the index "
+        "and touching nothing.  The pytest floors "
+        "(`tests/test_dataops.py::test_production_config_recall`) are "
+        "set just below these measured values so a recall regression "
+        "in either index fails the suite, not just the bench.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "BASELINE.md"), "a") as f:

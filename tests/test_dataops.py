@@ -1,6 +1,8 @@
 """Dedup / similarity / text operators on synthetic docs with known
 duplicate structure."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -325,3 +327,83 @@ def test_ivf_topk_recall(spark, vectors):
     c2 = kmeans_centroids(vectors, 10, 2)
     assert (c1 == c2).all()
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_multi_probe_lsh_topk(spark, vectors):
+    """Query-side multi-probe: (a) probe keys extend — never replace —
+    the base signature keys, so candidates are a superset and recall is
+    monotone in n_probes; (b) the driver-side base-key computation
+    agrees bit-for-bit with the distributed signature kernel."""
+    import numpy as np
+
+    from augdiff_pipeline_spark.operators.similarity import (
+        _collect_queries,
+        _hyperplanes,
+        _probe_keys,
+        hyperplane_signatures,
+    )
+
+    qids_list = [0, 10, 20]
+    n_bits, bands = 64, 8
+    qids, qn = _collect_queries(vectors, qids_list, "vec_id", "embedding")
+    planes = _hyperplanes(n_bits, qn.shape[1], 7)
+    qi, qb, qk = _probe_keys(qn, planes, bands, n_probes=0)
+    base_keys = {(int(qids[i]), int(b), int(k)) for i, b, k in zip(qi, qb, qk)}
+    dist_keys = {
+        (r["vec_id"], r["band"], r["key"])
+        for r in hyperplane_signatures(vectors, n_bits, bands)
+        .filter(F.col("vec_id").isin(qids_list))
+        .collect()
+    }
+    assert base_keys == dist_keys  # driver/executor signature parity
+
+    qi4, qb4, qk4 = _probe_keys(qn, planes, bands, n_probes=4)
+    probe_keys = {(int(qids[i]), int(b), int(k)) for i, b, k in zip(qi4, qb4, qk4)}
+    assert base_keys <= probe_keys
+    # exactly n_probes extra keys per (query, band) before dedup
+    assert len(qi4) == len(qids) * bands * (1 + 4)
+
+    exact = brute_force_topk(vectors, qids_list, k=5).toPandas()
+    want = set(zip(exact["query_id"], exact["vec_id"]))
+
+    def recall(n_probes):
+        ap = lsh_topk(vectors, qids_list, k=5, bands=bands, n_probes=n_probes).toPandas()
+        return len(set(zip(ap["query_id"], ap["vec_id"])) & want) / len(want)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0  # probes only add candidates; exact refine re-ranks
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.1/embeddings.parquet"),
+    reason="driver testdata not present",
+)
+def test_production_config_recall(spark):
+    """Recall floors for the PRODUCTION ANN configs on the driver's
+    sf0.1 embeddings table (the near-isotropic hard case) — set just
+    below the values measured by bench_ann_recall.py (BASELINE.md,
+    round 5) so an index regression fails the suite, not just the
+    bench."""
+    from augdiff_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    qids = ids[:: max(1, len(ids) // 64)][:64]
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, qids, k=10).select("query_id", "vec_id").collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.select("query_id", "vec_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        num = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return num / sum(len(t) for t in truth.values())
+
+    # measured r5: 0.1437 / 0.6984 / 0.8781 / 0.2016 / 0.5672 / 1.0
+    assert recall(lsh_topk(emb, qids, k=10, bands=8)) >= 0.10
+    assert recall(lsh_topk(emb, qids, k=10, bands=8, n_probes=8)) >= 0.60
+    assert recall(lsh_topk(emb, qids, k=10, bands=8, n_probes=16)) >= 0.80
+    assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=1)) >= 0.15
+    assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=4)) >= 0.45
+    assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=16)) >= 0.99
