@@ -35,13 +35,19 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         # scaling runs time only the headline queries (the 1-core leg of
         # the full suite would waste ~7 minutes on non-headline spine)
         SPARK_GRAFT_BENCH_ONLY=",".join(HEADLINE),
+        # 2 in-process reps x 2 interleaved outer runs = 4 samples per
+        # (query, level); the full-suite min-of-5 would push the 1-core
+        # leg (~190 s knn + ~200 s minhash per rep) past any sane leg
+        # budget without adding information the outer interleave
+        # doesn't already provide
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
