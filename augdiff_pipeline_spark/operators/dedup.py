@@ -827,9 +827,10 @@ def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
     strategy="multi_index" (auto for max_hamming > 3): multi-index
     hamming search (public scheme: Norouzi, Punjani & Fleet, "Fast
     Search in Hamming Space with Multi-Index Hashing", CVPR 2012) —
-    4 bands of 16 bits, with the PROBE side exploded into the full
-    XOR-ball of radius r = ceil((max_hamming+1)/4) - 1 around each
-    band key.  Pigeonhole: if every band differed by more than r the
+    m bands (4 x 16-bit for max_hamming <= 15, 8 x 8-bit to 31; see
+    _hamming_pairs_multi_index), with the PROBE side exploded into the
+    full XOR-ball of radius r = ceil((max_hamming+1)/m) - 1 around
+    each band key.  Pigeonhole: if every band differed by more than r the
     total would exceed 4(r+1)-1 >= max_hamming, so some band of a
     qualifying pair matches one probe variant exactly.  At
     max_hamming 6 this keeps the 65k-key bands (candidates
@@ -958,7 +959,28 @@ def _hamming_pairs_multi_index(rows: DataFrame, hash_col: str, id_col: str,
                                max_hamming: int,
                                max_bucket: int | None) -> DataFrame:
     _require_integral(rows, id_col, "hamming_pairs[multi_index]")
-    cand = _mih_candidates(rows, hash_col, id_col, max_hamming, max_bucket)
+    # Band count auto-selection: the probe ball must stay at radius <= 3
+    # (combinatorial growth beyond), so the band count rises with the
+    # radius — 4 x 16-bit bands cover max_hamming <= 15, 8 x 8-bit bands
+    # cover <= 31.  Narrower bands trade key selectivity (256 keys at
+    # 8 bits) for probe-ball size (<= 93 masks at radius 3) — the MIH
+    # paper's m ~ bits/log2(n) knob, fixed here at the two widths that
+    # make sense for 64-bit fingerprints.  Past 31 an 8-bit band's
+    # residual selectivity is gone and the banded strategy (32 x 2-bit
+    # bands...) is no better: at that point hamming "near"-duplicate
+    # has lost its meaning for 64-bit sketches.
+    if max_hamming <= 15:
+        bands = 4
+    elif max_hamming <= 31:
+        bands = 8
+    else:
+        raise ValueError(
+            "multi_index supports max_hamming <= 31 (8 x 8-bit bands at "
+            "probe radius 3); beyond that no 64-bit band split retains "
+            "selectivity — use a longer fingerprint"
+        )
+    cand = _mih_candidates(rows, hash_col, id_col, max_hamming, max_bucket,
+                           bands=bands)
     return (
         cand.select(
             "a", "b",

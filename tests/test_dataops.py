@@ -407,3 +407,47 @@ def test_production_config_recall(spark):
     assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=1)) >= 0.15
     assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=4)) >= 0.45
     assert recall(ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=16)) >= 0.99
+
+
+def test_hamming_multi_index_wide_radius(spark):
+    """max_hamming in (15, 31] auto-routes to 8 x 8-bit bands (probe
+    radius <= 3): exact vs brute force on a clustered fixture, banded
+    strategy agreement, and a loud raise past 31."""
+    from augdiff_pipeline_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(23)
+    rows = []
+    hid = 0
+    for c in range(2):
+        center = int(rng.integers(0, 1 << 63))
+        for _ in range(30):
+            h = center
+            for b in rng.choice(64, size=int(rng.integers(0, 11)), replace=False):
+                h ^= 1 << int(b)
+            rows.append((hid, h - (1 << 64 if h >= 1 << 63 else 0)))
+            hid += 1
+    for _ in range(40):
+        h = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        rows.append((hid, h - (1 << 64 if h >= 1 << 63 else 0)))
+        hid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["hash_id", "hv"]))
+    hs = dict(rows)
+    ids = sorted(hs)
+    mh = 20
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((hs[a] ^ hs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= mh
+    }
+    assert len(want) > 400  # intra-cluster pairs all qualify at 20
+    got_m = {(r["a"], r["b"]) for r in hamming_pairs(
+        df, "hv", "hash_id", max_hamming=mh, strategy="multi_index").collect()}
+    assert got_m == want
+    got_b = {(r["a"], r["b"]) for r in hamming_pairs(
+        df, "hv", "hash_id", max_hamming=mh, strategy="banded").collect()}
+    assert got_b == want
+
+    with pytest.raises(ValueError, match="max_hamming <= 31"):
+        hamming_pairs(df, "hv", "hash_id", max_hamming=32,
+                      strategy="multi_index").collect()
