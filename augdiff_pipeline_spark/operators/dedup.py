@@ -355,11 +355,30 @@ DEFAULT_MAX_SHINGLE_BROADCAST_BYTES = 512 * 1024 * 1024
 
 
 def _csr_ranks(hv) -> tuple[np.ndarray, int]:
-    """Dense int32 ranks of a CSR hash buffer (and the distinct count).
-    One np.unique over the dictionary — computed once per corpus (and
-    shipped inside the verify broadcast), not per batch."""
-    uniq, inv = np.unique(hv, return_inverse=True)
-    return inv.astype(np.int32), len(uniq)
+    """Dense int32 ranks of a CSR hash buffer (and the distinct count),
+    identical to np.unique(return_inverse) but allocation-lean: ONE
+    sort copy (sorted in place), a flag-diff dictionary extraction, and
+    a CHUNKED searchsorted inverse writing straight into the int32
+    output.  np.unique's argsort+take+int64-inverse shape allocates
+    ~3x the buffer in fresh int64 temporaries — measured 27-46 s for a
+    60M-element corpus on the ballooned-VM driver (first-touch fault
+    tax, BASELINE.md methodology) vs seconds for this form; on healthy
+    hardware it is still ~2x less driver memory traffic."""
+    n = len(hv)
+    if n == 0:
+        return np.empty(0, dtype=np.int32), 0
+    buf = hv.copy()
+    buf.sort()
+    flags = np.empty(n, dtype=bool)
+    flags[0] = True
+    np.not_equal(buf[1:], buf[:-1], out=flags[1:])
+    uniq = buf[flags]
+    del buf, flags
+    inv = np.empty(n, dtype=np.int32)
+    step = 1 << 22  # ~32 MB of int64 positions per chunk, arena-reused
+    for s in range(0, n, step):
+        inv[s: s + step] = np.searchsorted(uniq, hv[s: s + step])
+    return inv, len(uniq)
 
 
 def _csr_intersections(ranks, offs, cnts, ia, ib, n_ranks, bitmap=None):
@@ -426,14 +445,30 @@ def _sorted_csr_from_arrow(ids: np.ndarray, hv: np.ndarray, cnts: np.ndarray
     order-preserving, so segments stay sorted-unique.  Pure array ops,
     one sort over the corpus dictionary — paid once per call, on the
     driver, before the broadcast."""
+    # rank FIRST (in original segment order — ranking is per-element,
+    # order-free), so the reorder gathers int32 ranks instead of uint64
+    # hashes, and do the gather in doc blocks: per-block int64 index
+    # temporaries stay ~tens of MB (warm-arena reuse) instead of three
+    # corpus-sized fresh buffers (np.arange + 2x np.repeat) — the same
+    # bounded-temporary discipline as the verify kernel, applied to the
+    # one serial driver stage of the fused plan.
+    ranks_orig, n_ranks = _csr_ranks(hv)
     offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
     order = np.argsort(ids, kind="stable")
     cnts_o = cnts[order]
     offs_o = np.concatenate([[0], np.cumsum(cnts_o)[:-1]]).astype(np.int64)
     tot = int(cnts_o.sum())
-    idx = (np.arange(tot, dtype=np.int64)
-           - np.repeat(offs_o, cnts_o) + np.repeat(offs[order], cnts_o))
-    ranks, n_ranks = _csr_ranks(hv[idx])
+    ranks = np.empty(tot, dtype=np.int32)
+    step = 1 << 14  # 16k docs/block
+    for s in range(0, len(order), step):
+        sel = order[s: s + step]
+        cn = cnts[sel]
+        bo = np.concatenate([[0], np.cumsum(cn)[:-1]]).astype(np.int64)
+        blk = int(cn.sum())
+        idx = (np.arange(blk, dtype=np.int64)
+               - np.repeat(bo, cn) + np.repeat(offs[sel], cn))
+        dst = offs_o[s]
+        ranks[dst: dst + blk] = ranks_orig[idx]
     return ids[order], ranks, offs_o, cnts_o, n_ranks
 
 
@@ -497,22 +532,35 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
                 "hashes": [hv64[offs[i]: offs[i] + cnts[i]] for i in range(n)],
             })
 
+    # SPARK_GRAFT_MH_DEBUG=1: per-stage wall-clock to stderr — the knob
+    # that attributes fused-plan time between the parallel kernel, the
+    # serial driver section (collect + rank build + broadcast), and the
+    # bucket/verify stage (scaling-evidence attribution, BASELINE.md)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = _os.environ.get("SPARK_GRAFT_MH_DEBUG") == "1"
+    _t0 = _time.time()
+
     combined = docs.select(id_col, text_col).mapInPandas(
         sig_csr_kernel, "doc_id long, band_hashes array<long>, hashes array<long>"
     ).localCheckpoint(eager=True)
+    if _dbg:
+        print(f"# mh_fused sig_kernel+ckpt: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr); _t0 = _time.time()
 
     tbl = combined.select("doc_id", "hashes").toArrow()
     ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     hcol = tbl["hashes"].combine_chunks()
     cnts = np.asarray(hcol.value_lengths(), dtype=np.int64)
     hv_all = hcol.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    # Driver sizing: this path holds the corpus CSR on the driver three
-    # times transiently (Arrow table + the int64 hash buffer + the rank
-    # build's sort temporaries) before the int32-rank broadcast ships —
-    # ~3.5x the budgeted bytes peak.  The routing budget therefore
-    # implies a driver-memory floor: a 512 MB corpus needs ~2 GB of
-    # driver headroom.  Assert loudly instead of letting a mis-set
-    # budget OOM the driver mid-broadcast.
+    # Driver sizing: this path transiently holds the Arrow table, the
+    # int64 hash buffer, its sort copy, and the two int32 rank buffers
+    # before the broadcast ships — ~2.5x the budgeted bytes peak (the
+    # rank build itself is chunk-bounded, see _sorted_csr_from_arrow).
+    # The routing budget therefore implies a driver-memory floor: a
+    # 512 MB corpus needs ~1.5 GB of driver headroom.  Assert loudly
+    # instead of letting a mis-set budget OOM the driver mid-broadcast.
     csr_bytes = int(hv_all.nbytes)
     assert csr_bytes <= 4 * DEFAULT_MAX_SHINGLE_BROADCAST_BYTES, (
         f"fused minhash CSR is {csr_bytes >> 20} MiB on the driver — "
@@ -520,9 +568,18 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
         "absorb (peak ~3.5x CSR bytes); lower the budget to route to the "
         "distributed verify"
     )
+    if _dbg:
+        print(f"# mh_fused driver_collect: {_time.time()-_t0:.1f}s "
+              f"({csr_bytes >> 20} MiB CSR)", file=_sys.stderr); _t0 = _time.time()
     ids_s, ranks_s, offs_s, cnts_s, n_ranks = _sorted_csr_from_arrow(ids, hv_all, cnts)
     del tbl, hcol, hv_all, ids, cnts  # drop int64 temporaries pre-broadcast
+    if _dbg:
+        print(f"# mh_fused rank_build: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr); _t0 = _time.time()
     bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
+    if _dbg:
+        print(f"# mh_fused broadcast: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr); _t0 = _time.time()
 
     buckets = combined.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
@@ -629,6 +686,9 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
         emit_verify, "a long, b long, jaccard double"
     ).distinct().localCheckpoint(eager=True)
     bc.destroy()
+    if _dbg:
+        print(f"# mh_fused bucket+verify: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr)
     return out
 
 

@@ -451,3 +451,42 @@ def test_hamming_multi_index_wide_radius(spark):
     with pytest.raises(ValueError, match="max_hamming <= 31"):
         hamming_pairs(df, "hv", "hash_id", max_hamming=32,
                       strategy="multi_index").collect()
+
+
+def test_csr_rank_build_matches_np_unique():
+    """The allocation-lean rank build (in-place sort + flag-diff
+    dictionary + chunked searchsorted inverse; doc-block-chunked
+    segment reorder) must be bit-identical to the np.unique
+    formulation it replaced."""
+    from augdiff_pipeline_spark.operators.dedup import (
+        _csr_ranks,
+        _sorted_csr_from_arrow,
+    )
+
+    rng = np.random.default_rng(31)
+    # hashes with plenty of cross-doc repeats (shingle-like)
+    hv = rng.integers(0, 5000, size=300_000, dtype=np.uint64)
+    inv, n = _csr_ranks(hv)
+    uniq_w, inv_w = np.unique(hv, return_inverse=True)
+    assert n == len(uniq_w)
+    assert inv.dtype == np.int32
+    assert (inv == inv_w).all()
+    e, ne = _csr_ranks(np.empty(0, dtype=np.uint64))
+    assert ne == 0 and len(e) == 0
+
+    # CSR reorder: random doc ids, ragged segment sizes (incl. empty)
+    n_docs = 40_000  # > one 16k-doc reorder block
+    cnts = rng.integers(0, 15, size=n_docs).astype(np.int64)
+    tot = int(cnts.sum())
+    hv2 = rng.integers(0, 10_000, size=tot, dtype=np.uint64)
+    ids = rng.permutation(n_docs).astype(np.int64)
+    ids_s, ranks, offs_o, cnts_o, n_ranks = _sorted_csr_from_arrow(ids, hv2, cnts)
+    assert (ids_s == np.sort(ids)).all()
+    # reference: per-doc dict of rank segments built from np.unique
+    uniq2, inv2 = np.unique(hv2, return_inverse=True)
+    assert n_ranks == len(uniq2)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    segs = {int(d): inv2[offs[i]: offs[i] + cnts[i]] for i, d in enumerate(ids)}
+    for j, d in enumerate(ids_s):
+        got = ranks[offs_o[j]: offs_o[j] + cnts_o[j]]
+        assert (got == segs[int(d)]).all(), d
