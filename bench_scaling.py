@@ -19,7 +19,13 @@ import os
 import subprocess
 import sys
 
-HEADLINE = ["pip_tile", "pip_scan", "knn", "tile_cut", "minhash"]
+HEADLINE = [
+    q.strip()
+    for q in os.environ.get(
+        "SPARK_GRAFT_SCALE_QUERIES", "pip_tile,pip_scan,knn,tile_cut,minhash"
+    ).split(",")
+    if q.strip()
+]
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
