@@ -91,6 +91,36 @@ def test_minhash_lsh_recall_is_complete(spark, docs):
     assert got == want
 
 
+def test_minhash_verify_route_parity(spark, docs, monkeypatch):
+    """All three verify routes — fused bitset (small shingle universe),
+    fused rank-CSR, and the distributed join-back — produce the same
+    pair set with bit-identical jaccard values."""
+    import augdiff_pipeline_spark.operators.dedup as dd
+
+    def run(**kw):
+        return sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5, **kw).collect()
+        )
+
+    calls = {"bitset": 0}
+    real = dd._bitset_from_csr
+
+    def spy(*a, **kw):
+        calls["bitset"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dd, "_bitset_from_csr", spy)
+    bitset = run()
+    assert calls["bitset"] == 1, "tiny corpus must take the bitset route"
+    monkeypatch.setattr(dd, "_MAX_BITSET_RANKS", 0)
+    csr = run()
+    assert calls["bitset"] == 1, "_MAX_BITSET_RANKS=0 must fall back to the CSR kernel"
+    distributed = run(max_shingle_broadcast_bytes=0)
+    assert bitset == csr == distributed
+    assert len(bitset) > 0
+
+
 def test_batch_shingles_match_per_doc():
     from augdiff_pipeline_spark.operators.dedup import _batch_shingle_hashes
 
