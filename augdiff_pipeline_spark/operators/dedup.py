@@ -509,37 +509,110 @@ def _bitset_from_csr(ranks: np.ndarray, offs: np.ndarray, cnts: np.ndarray,
     return out.reshape(n, W)
 
 
+_UNPACK_LUT = None
+
+
+def _unpack_lut() -> np.ndarray:
+    """(256, 8) float32 bit-expansion table: one fancy gather turns a
+    packed bitset byte matrix straight into the 0/1 float32 rows BLAS
+    needs — skipping unpackbits' uint8 intermediate AND the astype copy
+    (two full-size temporaries per tile in the round-5 kernel).  Bit
+    order within a byte only has to be CONSISTENT across rows (dot
+    products are order-invariant), so the natural LSB-first order is
+    used."""
+    global _UNPACK_LUT
+    if _UNPACK_LUT is None:
+        b = np.arange(256, dtype=np.uint16)
+        _UNPACK_LUT = ((b[:, None] >> np.arange(8)) & 1).astype(np.float32)
+    return _UNPACK_LUT
+
+
+def _fused_verify_route(n_docs: int, n_ranks: int, budget: int) -> str:
+    """Driver-side route decision for the fused verify state: 'bitset'
+    (small shingle universe: per-doc sets pack into n_ranks-bit bitsets,
+    tiles verify via batched sgemm) or 'csr' (int32 rank segments +
+    membership-bitmap intersections).  Split out as a module function so
+    tests can pin the route without reaching into executor state."""
+    w = (n_ranks + 63) >> 6
+    if n_ranks <= _MAX_BITSET_RANKS and n_docs * w * 8 <= budget:
+        return "bitset"
+    return "csr"
+
+
+def _reorder_csr(ids: np.ndarray, flat: np.ndarray, cnts: np.ndarray):
+    """Reorder doc-major CSR segments into ascending-doc-id order (the
+    verify kernels binary-search ids).  Same block-bounded gather as
+    _sorted_csr_from_arrow, minus the ranking step (segments already
+    carry int32 ranks when this is called)."""
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cnts_o = cnts[order]
+    offs_o = np.concatenate([[0], np.cumsum(cnts_o)[:-1]]).astype(np.int64)
+    out = np.empty(int(cnts_o.sum()), dtype=flat.dtype)
+    step = 1 << 14
+    for s in range(0, len(order), step):
+        sel = order[s: s + step]
+        cn = cnts[sel]
+        bo = np.concatenate([[0], np.cumsum(cn)[:-1]]).astype(np.int64)
+        blk = int(cn.sum())
+        idx = (np.arange(blk, dtype=np.int64)
+               - np.repeat(bo, cn) + np.repeat(offs[sel], cn))
+        dst = offs_o[s]
+        out[dst: dst + blk] = flat[idx]
+    return ids[order], out, offs_o, cnts_o
+
+
 def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
                          jaccard_threshold: float, text_col: str, id_col: str,
-                         max_bucket: int | None) -> DataFrame:
+                         max_bucket: int | None,
+                         budget: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES) -> DataFrame:
     """Under-broadcast-budget minhash plan: ONE pass over the docs.
 
     A single kernel shingles each doc once and emits (doc_id,
     band_hashes[bands], shingle hashes) — checkpointed, so the scan +
-    shingle never repeats.  The driver lifts the (doc_id, hashes) CSR
-    straight out of the checkpoint via Arrow and broadcasts it; the
-    band rows come from a native posexplode of the same checkpoint
-    (column-pruned, so the hash arrays never enter the shuffle).  Each
-    LSH bucket's pairs are then emitted AND exact-Jaccard-verified
-    inside the bucket aggregation kernel: candidates never leave the
-    task that proposed them, and the only post-shuffle rows are
-    verified true pairs — at 100-TB corpus scale the candidate volume
-    is the whole cost of LSH dedup, so never materializing or shuffling
-    it is the point (the >budget path must shuffle candidates to meet
-    their text; this path's budget is exactly what lets it skip that).
+    shingle never repeats.  The band rows come from a native posexplode
+    of the same checkpoint (column-pruned, so the hash arrays never
+    enter the shuffle).  Each LSH bucket's pairs are then emitted AND
+    exact-Jaccard-verified inside the bucket aggregation kernel:
+    candidates never leave the task that proposed them, and the only
+    post-shuffle rows are verified true pairs — at 100-TB corpus scale
+    the candidate volume is the whole cost of LSH dedup, so never
+    materializing or shuffling it is the point (the >budget path must
+    shuffle candidates to meet their text; this path's budget is
+    exactly what lets it skip that).
 
-    The verify is chunk-vectorized: fixed-size pair blocks resolved by
-    the same per-left-run bitmap kernel as the distributed verify
-    (_csr_intersections) over the broadcast rank CSR — no per-pair
-    Python, and temporaries bounded at tens of MB per block so warm
-    malloc-arena pages get reused instead of paying the ballooned-host
-    first-touch page-fault tax a whole-batch gather incurs (BASELINE.md
-    methodology).  Pairs within a batch dedupe before verification (the
-    same true pair collides in many bands).
+    The verify state (rank CSR or bitset matrix) is built DISTRIBUTED
+    (round 6; guide §5 "the driver should do almost no data work"):
+    the shingle dictionary comes from a native explode+distinct over
+    the checkpoint (map-side partial aggregation collapses the ~40-60x
+    cross-doc shingle duplication before the shuffle), only the sorted
+    uniques are collected, and a second kernel pass ranks each doc's
+    segment against the broadcast dictionary executor-side — the
+    driver then collects int32 ranks (half the round-5 bytes) or
+    packed bitset words (1/16th) instead of the raw int64 hash CSR,
+    and its only remaining serial work is one argsort-by-id gather.
+    The round-5 shape (collect the full int64 CSR, rank it serially on
+    the driver — measured 16-22s at 200k docs) survives only as the
+    fallback when the dictionary itself would not fit the broadcast
+    budget (near-zero duplication corpora), where it is no worse.
+
+    The bitset verify is chunk-vectorized ACROSS cells (round 6): cells
+    are grouped by tile shape, stacked, and each group resolves through
+    one batched sgemm (A @ A^T over LUT-expanded 0/1 rows) plus a
+    conservative float32 threshold prefilter; only the ~kept pairs take
+    the exact int64/float64 jaccard path, whose output is bit-identical
+    to the unconditional round-5 computation (the prefilter keeps a
+    strict superset: G is exact in float32 for counts <= 2^15 and the
+    1.0 margin dominates every rounding term).  This removes the
+    per-cell Python/BLAS-call overhead that dominated wall-clock at
+    ~190k small cells per 50k docs (measured 0.22us/pair batched vs
+    ~0.9us/pair per-cell, single-thread BLAS).
     """
     spark = docs.sparkSession
     rows_per_band = num_perm // bands
     salts = _salts(num_perm, 1)
+
+    acc_docs = spark.sparkContext.accumulator(0)
 
     def sig_csr_kernel(it):
         for pdf in it:
@@ -551,6 +624,7 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
                     "hashes": pd.Series([], dtype="object"),
                 })
                 continue
+            acc_docs.add(n)
             hv, offs, cnts = _batch_shingle_hashes(list(pdf[text_col]))
             sigs = np.empty((n, num_perm), dtype=np.uint64)
             for j in range(num_perm):
@@ -571,8 +645,7 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
 
     # SPARK_GRAFT_MH_DEBUG=1: per-stage wall-clock to stderr — the knob
     # that attributes fused-plan time between the parallel kernel, the
-    # serial driver section (collect + rank build + broadcast), and the
-    # bucket/verify stage (scaling-evidence attribution, BASELINE.md)
+    # dictionary/pack jobs, and the bucket/verify stage.
     import os as _os
     import sys as _sys
     import time as _time
@@ -582,55 +655,15 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     combined = docs.select(id_col, text_col).mapInPandas(
         sig_csr_kernel, "doc_id long, band_hashes array<long>, hashes array<long>"
     ).localCheckpoint(eager=True)
+    n_docs = int(acc_docs.value)
     if _dbg:
-        print(f"# mh_fused sig_kernel+ckpt: {_time.time()-_t0:.1f}s",
-              file=_sys.stderr); _t0 = _time.time()
+        print(f"# mh_fused sig_kernel+ckpt: {_time.time()-_t0:.1f}s "
+              f"({n_docs} docs)", file=_sys.stderr); _t0 = _time.time()
 
-    tbl = combined.select("doc_id", "hashes").toArrow()
-    ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    hcol = tbl["hashes"].combine_chunks()
-    cnts = np.asarray(hcol.value_lengths(), dtype=np.int64)
-    hv_all = hcol.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    # Driver sizing: this path transiently holds the Arrow table, the
-    # int64 hash buffer, its sort copy, and the two int32 rank buffers
-    # before the broadcast ships — ~2.5x the budgeted bytes peak (the
-    # rank build itself is chunk-bounded, see _sorted_csr_from_arrow).
-    # The routing budget therefore implies a driver-memory floor: a
-    # 512 MB corpus needs ~1.5 GB of driver headroom.  Assert loudly
-    # instead of letting a mis-set budget OOM the driver mid-broadcast.
-    csr_bytes = int(hv_all.nbytes)
-    assert csr_bytes <= 4 * DEFAULT_MAX_SHINGLE_BROADCAST_BYTES, (
-        f"fused minhash CSR is {csr_bytes >> 20} MiB on the driver — "
-        "max_shingle_broadcast_bytes is set past what driver memory can "
-        "absorb (peak ~3.5x CSR bytes); lower the budget to route to the "
-        "distributed verify"
-    )
-    if _dbg:
-        print(f"# mh_fused driver_collect: {_time.time()-_t0:.1f}s "
-              f"({csr_bytes >> 20} MiB CSR)", file=_sys.stderr); _t0 = _time.time()
-    ids_s, ranks_s, offs_s, cnts_s, n_ranks = _sorted_csr_from_arrow(ids, hv_all, cnts)
-    del tbl, hcol, hv_all, ids, cnts  # drop int64 temporaries pre-broadcast
-    if _dbg:
-        print(f"# mh_fused rank_build: {_time.time()-_t0:.1f}s",
-              file=_sys.stderr); _t0 = _time.time()
-    use_bitset = (
-        n_ranks <= _MAX_BITSET_RANKS
-        and len(ids_s) * (((n_ranks + 63) >> 6) * 8) <= DEFAULT_MAX_SHINGLE_BROADCAST_BYTES
-    )
-    if use_bitset:
-        bitmat = _bitset_from_csr(ranks_s, offs_s, cnts_s, n_ranks)
-        del ranks_s, offs_s
-        bc = spark.sparkContext.broadcast((ids_s, bitmat, cnts_s))
-        if _dbg:
-            print(f"# mh_fused bitset_build: {_time.time()-_t0:.1f}s "
-                  f"({bitmat.nbytes >> 20} MiB, n_ranks={n_ranks})",
-                  file=_sys.stderr); _t0 = _time.time()
-    else:
-        bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
-    if _dbg:
-        print(f"# mh_fused broadcast: {_time.time()-_t0:.1f}s",
-              file=_sys.stderr); _t0 = _time.time()
-
+    # The bucket/cell pipeline depends only on the checkpoint, not on
+    # the verify broadcast — materialize it from a driver thread so its
+    # jobs overlap the dictionary/pack jobs below (guide §2.6: actions
+    # are only sequential because the driver calls them sequentially).
     buckets = combined.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
     ).groupBy("band", "band_hash").agg(F.collect_list("doc_id").alias("_ids"))
@@ -648,7 +681,7 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     # of a hot bucket stays in the task that aggregated the bucket.
     T = 256
     C = F.ceil(F.size("_ids") / T).cast("int")
-    cells = (
+    cells_plan = (
         buckets.select("_ids", F.explode(F.sequence(F.lit(0), C - 1)).alias("_i"))
         .select("_ids", "_i",
                 F.explode(F.sequence(F.col("_i"),
@@ -661,61 +694,245 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    from concurrent.futures import ThreadPoolExecutor
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _cells_fut = _pool.submit(lambda: cells_plan.localCheckpoint(eager=True))
+
+    # distributed dictionary: explode + distinct runs with map-side
+    # partial aggregation, so the shuffle carries ~per-partition-unique
+    # hashes and the driver receives exactly the n_ranks sorted uniques
+    # — never the 2x-bigger raw CSR of round 5
+    dict_tbl = (
+        combined.select(F.explode("hashes").alias("h")).distinct().toArrow()
+    )
+    n_ranks = dict_tbl.num_rows
+    if _dbg:
+        print(f"# mh_fused dict_distinct: {_time.time()-_t0:.1f}s "
+              f"(n_ranks={n_ranks})", file=_sys.stderr); _t0 = _time.time()
+
+    use_fallback = n_ranks * 8 > budget
+    if use_fallback:
+        # dictionary alone would blow the broadcast budget (a corpus of
+        # near-unique shingles) — round-5 driver-side path, with its
+        # documented sizing assert
+        tbl = combined.select("doc_id", "hashes").toArrow()
+        ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        hcol = tbl["hashes"].combine_chunks()
+        cnts = np.asarray(hcol.value_lengths(), dtype=np.int64)
+        hv_all = hcol.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        # Driver sizing: this path transiently holds the Arrow table,
+        # the int64 hash buffer, its sort copy, and the two int32 rank
+        # buffers before the broadcast ships — ~2.5x the budgeted bytes
+        # peak (the rank build is chunk-bounded, see
+        # _sorted_csr_from_arrow).  Assert loudly instead of letting a
+        # mis-set budget OOM the driver mid-broadcast.
+        csr_bytes = int(hv_all.nbytes)
+        assert csr_bytes <= 4 * DEFAULT_MAX_SHINGLE_BROADCAST_BYTES, (
+            f"fused minhash CSR is {csr_bytes >> 20} MiB on the driver — "
+            "max_shingle_broadcast_bytes is set past what driver memory can "
+            "absorb (peak ~2.5x CSR bytes); lower the budget to route to the "
+            "distributed verify"
+        )
+        ids_s, ranks_s, offs_s, cnts_s, n_ranks = _sorted_csr_from_arrow(ids, hv_all, cnts)
+        del tbl, hcol, hv_all, ids, cnts
+        route = "csr"
+        bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
+        if _dbg:
+            print(f"# mh_fused driver_fallback_build: {_time.time()-_t0:.1f}s",
+                  file=_sys.stderr); _t0 = _time.time()
+    else:
+        dict64 = np.sort(
+            dict_tbl["h"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+        del dict_tbl
+        bcd = spark.sparkContext.broadcast(dict64)
+        route = _fused_verify_route(n_docs, n_ranks, budget)
+        w_words = (n_ranks + 63) >> 6
+
+        if route == "bitset":
+            def pack_kernel(it):
+                d = bcd.value
+                nr = len(d)
+                for pdf in it:
+                    n = len(pdf)
+                    if n == 0:
+                        yield pd.DataFrame({
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "words": pd.Series([], dtype="object"),
+                            "cnt": pd.Series([], dtype="int64"),
+                        })
+                        continue
+                    segs = [np.asarray(x, dtype=np.int64) for x in pdf["hashes"]]
+                    cnts = np.fromiter((len(s) for s in segs), dtype=np.int64, count=n)
+                    flat = np.concatenate(segs)
+                    ranks = np.searchsorted(d, flat.view(np.uint64)).astype(np.int32)
+                    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+                    words = _bitset_from_csr(ranks, offs, cnts, nr).view(np.int64)
+                    yield pd.DataFrame({
+                        "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                        "words": list(words),
+                        "cnt": cnts,
+                    })
+
+            packed = combined.select("doc_id", "hashes").mapInPandas(
+                pack_kernel, "doc_id long, words array<long>, cnt long"
+            ).toArrow()
+            ids = packed["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            wcol = packed["words"].combine_chunks()
+            bitflat = wcol.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            cnts = packed["cnt"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            bitmat = bitflat.reshape(len(ids), w_words)[order]
+            bc = spark.sparkContext.broadcast((ids[order], bitmat, cnts[order]))
+            if _dbg:
+                print(f"# mh_fused pack_collect(bitset): {_time.time()-_t0:.1f}s "
+                      f"({bitmat.nbytes >> 20} MiB, n_ranks={n_ranks})",
+                      file=_sys.stderr); _t0 = _time.time()
+        else:
+            def rank_kernel(it):
+                d = bcd.value
+                for pdf in it:
+                    n = len(pdf)
+                    if n == 0:
+                        yield pd.DataFrame({
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "ranks": pd.Series([], dtype="object"),
+                        })
+                        continue
+                    yield pd.DataFrame({
+                        "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                        "ranks": [
+                            np.searchsorted(
+                                d, np.asarray(x, dtype=np.int64).view(np.uint64)
+                            ).astype(np.int32)
+                            for x in pdf["hashes"]
+                        ],
+                    })
+
+            packed = combined.select("doc_id", "hashes").mapInPandas(
+                rank_kernel, "doc_id long, ranks array<int>"
+            ).toArrow()
+            ids = packed["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            rcol = packed["ranks"].combine_chunks()
+            cnts = np.asarray(rcol.value_lengths(), dtype=np.int64)
+            rflat = rcol.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+            ids_s, ranks_s, offs_s, cnts_s = _reorder_csr(ids, rflat, cnts)
+            bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
+            if _dbg:
+                print(f"# mh_fused pack_collect(csr): {_time.time()-_t0:.1f}s "
+                      f"({rflat.nbytes >> 20} MiB ranks)",
+                      file=_sys.stderr); _t0 = _time.time()
+        bcd.destroy()
+    if _dbg:
+        print(f"# mh_fused broadcast: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr); _t0 = _time.time()
+
+    cells = _cells_fut.result()
+    _pool.shutdown(wait=False)
+    if _dbg:
+        print(f"# mh_fused cells_join: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr); _t0 = _time.time()
 
     thr = float(jaccard_threshold)
 
     def emit_verify_bitset(it):
         ids_b, bitmat_b, cnts_b = bc.value
-        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        lut = _unpack_lut()
+        W = bitmat_b.shape[1]
+        D = W * 64
+        bytemat = bitmat_b.view(np.uint8).reshape(len(ids_b), W * 8)
+        # threshold rewritten shuffle-free: jac >= thr  <=>
+        # inter >= thr/(1+thr) * (|A|+|B|); prefilter compares in
+        # float32 with a 1.0 margin (strict superset: G is an exact
+        # integer in float32 for counts <= 2^15 and |A|+|B| <= 2^16, so
+        # every rounding term is << 1), then survivors recompute the
+        # EXACT round-5 jaccard expression in int64/float64.
+        r32 = np.float32(thr / (1.0 + thr))
+        tri_cache: dict[int, np.ndarray] = {}
+        budget_elems = 1 << 24  # 64 MB of float32 tile rows per chunk
+
+        def expand(ix):
+            return lut[bytemat[ix].ravel()].reshape(len(ix), D)
+
+        def exact_emit(G, mats, ci, ii, jj, ca, cb, out):
+            inter = G[ci, ii, jj].astype(np.int64)
+            aa = mats[0][ci, ii]
+            bb = mats[1][ci, jj]
+            union = ca[ci, ii] + cb[ci, jj] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jac >= thr
+            if keep.any():
+                ka, kb = aa[keep], bb[keep]
+                out[0].append(np.minimum(ka, kb))
+                out[1].append(np.maximum(ka, kb))
+                out[2].append(jac[keep])
+
         for pdf in it:
-            out_a, out_b, out_j = [], [], []
+            diag: dict[int, list] = {}
+            cross: dict[tuple[int, int], list] = {}
             for la, lb in zip(pdf["la"], pdf["lb"]):
                 la = np.asarray(la, dtype=np.int64)
-                ia = np.searchsorted(ids_b, la)
-                Af = np.unpackbits(
-                    bitmat_b[ia].view(np.uint8), axis=1
-                ).astype(np.float32)
-                ca = cnts_b[ia]
                 if lb is None or (isinstance(lb, float) and np.isnan(lb)):
-                    m = len(la)
-                    if m < 2:
-                        continue
-                    if m not in triu_cache:
-                        triu_cache[m] = np.triu_indices(m, 1)
-                    iu, ju = triu_cache[m]
-                    G = Af @ Af.T
-                    inter = G[iu, ju].astype(np.int64)
-                    aa, bb = la[iu], la[ju]
-                    union = ca[iu] + ca[ju] - inter
+                    if len(la) >= 2:
+                        diag.setdefault(len(la), []).append(la)
                 else:
                     lb = np.asarray(lb, dtype=np.int64)
-                    ib = np.searchsorted(ids_b, lb)
-                    Bf = np.unpackbits(
-                        bitmat_b[ib].view(np.uint8), axis=1
-                    ).astype(np.float32)
-                    G = Af @ Bf.T
-                    inter = G.ravel().astype(np.int64)
-                    aa = np.repeat(la, len(lb))
-                    bb = np.tile(lb, len(la))
-                    union = np.repeat(ca, len(lb)) + np.tile(cnts_b[ib], len(la)) - inter
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-                keep = jac >= thr
-                if keep.any():
-                    ka, kb = aa[keep], bb[keep]
-                    out_a.append(np.minimum(ka, kb))
-                    out_b.append(np.maximum(ka, kb))
-                    out_j.append(jac[keep])
-            if not out_a:
+                    cross.setdefault((len(la), len(lb)), []).append((la, lb))
+            out: tuple[list, list, list] = ([], [], [])
+            for m, ls in diag.items():
+                if m not in tri_cache:
+                    tri_cache[m] = np.triu(np.ones((m, m), dtype=bool), 1)
+                trimask = tri_cache[m]
+                mat_all = np.stack(ls)
+                kmax = max(1, budget_elems // (m * D))
+                for s in range(0, len(mat_all), kmax):
+                    mat = mat_all[s: s + kmax]
+                    k = len(mat)
+                    ix = np.searchsorted(ids_b, mat.ravel())
+                    Af = expand(ix).reshape(k, m, D)
+                    G = Af @ Af.transpose(0, 2, 1)
+                    ca = cnts_b[ix].reshape(k, m)
+                    ca32 = ca.astype(np.float32)
+                    cond = G >= (ca32[:, :, None] + ca32[:, None, :]) * r32 - np.float32(1.0)
+                    cond &= trimask[None]
+                    ci, ii, jj = np.nonzero(cond)
+                    if ci.size:
+                        exact_emit(G, (mat, mat), ci, ii, jj, ca, ca, out)
+            for (ma, mb), ls in cross.items():
+                la_all = np.stack([x[0] for x in ls])
+                lb_all = np.stack([x[1] for x in ls])
+                kmax = max(1, budget_elems // ((ma + mb) * D))
+                for s in range(0, len(la_all), kmax):
+                    A_ = la_all[s: s + kmax]
+                    B_ = lb_all[s: s + kmax]
+                    k = len(A_)
+                    ixa = np.searchsorted(ids_b, A_.ravel())
+                    ixb = np.searchsorted(ids_b, B_.ravel())
+                    Af = expand(ixa).reshape(k, ma, D)
+                    Bf = expand(ixb).reshape(k, mb, D)
+                    G = Af @ Bf.transpose(0, 2, 1)
+                    ca = cnts_b[ixa].reshape(k, ma)
+                    cb = cnts_b[ixb].reshape(k, mb)
+                    cond = G >= (
+                        ca.astype(np.float32)[:, :, None]
+                        + cb.astype(np.float32)[:, None, :]
+                    ) * r32 - np.float32(1.0)
+                    ci, ii, jj = np.nonzero(cond)
+                    if ci.size:
+                        exact_emit(G, (A_, B_), ci, ii, jj, ca, cb, out)
+            if not out[0]:
                 yield _verify_schema()
                 continue
             yield pd.DataFrame({
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "jaccard": np.concatenate(out_j),
+                "a": np.concatenate(out[0]),
+                "b": np.concatenate(out[1]),
+                "jaccard": np.concatenate(out[2]),
             })
 
     def emit_verify(it):
         ids_b, ranks_b, offs_b, cnts_b, n_ranks_b = bc.value
+        n_b = len(ids_b)
         for pdf in it:
             parts_a, parts_b = [], []
             for la, lb in zip(pdf["la"], pdf["lb"]):
@@ -739,28 +956,23 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
             if len(a) == 0:
                 yield _verify_schema()
                 continue
-            # in-batch dedupe: a true pair collides in many bands
-            ab = np.unique(np.stack([a, b], axis=1), axis=0)
-            a, b = ab[:, 0], ab[:, 1]
+            # in-batch dedupe: a true pair collides in many bands.
+            # Dense-position composite key (pos_a * n_docs + pos_b fits
+            # int64 — n_docs is broadcast-budget-bounded) sorts ~3x
+            # faster than the round-5 unique-over-2-column-stack, which
+            # fell back to a structured void-dtype sort.
             ia = np.searchsorted(ids_b, a)
             ib = np.searchsorted(ids_b, b)
+            key = np.unique(ia.astype(np.int64) * n_b + ib)
+            ia, ib = np.divmod(key, n_b)
+            a = ids_b[ia]
+            b = ids_b[ib]
             inter = np.empty(len(a), dtype=np.int64)
-            # Chunked bitmap intersection — the SAME per-left-doc-run
-            # kernel the distributed verify uses (_csr_intersections,
+            # Chunked bitmap intersection (_csr_intersections): one
             # rank bitmap + one membership gather + one reduceat per
-            # run), applied in fixed-size pair blocks.  Pairs arrive
-            # sorted by (a, b) from the in-batch dedupe, so the tile
-            # structure (each left doc pairing with up to T rights)
-            # becomes contiguous runs and the per-run cost amortizes
-            # over ~T pairs.  Chunking bounds the right-segment gather
-            # at ~CHUNK x avg-shingles elements (tens of MB), keeping
-            # the warm-arena reuse that matters on ballooned hosts
-            # (BASELINE.md); the bitmap allocates once per batch.
-            # Measured on tile-style pairs, same host, same session:
-            # 6.3 us/pair vs 18.2 us for the round-4 per-pair merge
-            # loop and 24 us for a concatenated-searchsorted form
-            # (global binary search loses the cache locality the
-            # per-segment bitmap keeps) — BASELINE.md round-5.
+            # left-doc run, applied in fixed-size pair blocks so
+            # temporaries stay tens of MB (measured 6.3 us/pair,
+            # BASELINE.md round-5).
             CHUNK = 8192
             bitmap = np.zeros(n_ranks_b, dtype=bool)
             for c0 in range(0, len(a), CHUNK):
@@ -783,7 +995,7 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     # the `combined` checkpoint, whose blocks the ContextCleaner
     # reclaims once the plan objects here go out of scope.
     out = cells.mapInPandas(
-        emit_verify_bitset if use_bitset else emit_verify,
+        emit_verify_bitset if route == "bitset" else emit_verify,
         "a long, b long, jaccard double"
     ).distinct().localCheckpoint(eager=True)
     bc.destroy()
@@ -839,7 +1051,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
         est = int(docs.select((F.sum(F.length(text_col)) * 8).alias("b")).first()["b"] or 0)
     if est <= max_shingle_broadcast_bytes:
         return _minhash_pairs_fused(docs, num_perm, bands, jaccard_threshold,
-                                    text_col, id_col, max_bucket)
+                                    text_col, id_col, max_bucket,
+                                    budget=max_shingle_broadcast_bytes)
 
     # --- over-budget: fully distributed, no corpus state anywhere ---
     # candidate pairs via ONE shuffle of the signature rows (groupBy +
@@ -992,7 +1205,7 @@ def hamming_pairs(rows: DataFrame, hash_col: str, id_col: str,
     _hamming_pairs_multi_index), with the PROBE side exploded into the
     full XOR-ball of radius r = ceil((max_hamming+1)/m) - 1 around
     each band key.  Pigeonhole: if every band differed by more than r the
-    total would exceed 4(r+1)-1 >= max_hamming, so some band of a
+    total would exceed m(r+1)-1 >= max_hamming, so some band of a
     qualifying pair matches one probe variant exactly.  At
     max_hamming 6 this keeps the 65k-key bands (candidates
     ~n² x 4 x 17/65536 ~ n²/1000, vs n²/73 banded) at the cost of a

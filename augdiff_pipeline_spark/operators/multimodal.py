@@ -102,7 +102,19 @@ def image_features(images: DataFrame, thumb: int = 8) -> DataFrame:
                 "thumb_bytes": tbytes,
             })
 
-    return images.select("image_id", "bytes").mapInPandas(
+    src = images.select("image_id", "bytes")
+    # Each mapInPandas task pays ~80-100 ms of fixed Python-worker cost,
+    # so a blob table whose scan fans out to thousands of partitions
+    # (e.g. a hash-filtered sample of a multi-GB source: 4 MB splits at
+    # sf1.0 leave ~4000 near-empty partitions carrying ~2 rows each)
+    # spends seconds on pure task overhead.  coalesce is narrow — no
+    # shuffle, rows and values unchanged — and only fires when the
+    # input is pathologically over-partitioned for the session's cores
+    # (guide §6: small inputs hurt twice, on the driver and per task).
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() > 4 * par:
+        src = src.coalesce(2 * par)
+    return src.mapInPandas(
         kernel,
         "image_id string, phash long, mean_r double, mean_g double, "
         "mean_b double, luma_std double, thumb_bytes binary",

@@ -23,12 +23,17 @@ from pyspark.sql import functions as F
 ROUND_DP = 6
 
 
-def _collect_queries(embeddings: DataFrame, query_ids: list[int], id_col: str, vec_col: str):
+def _collect_queries(embeddings: DataFrame, query_ids: list[int], id_col: str,
+                     vec_col: str, normalize: bool = True):
     rows = (
         embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     )
     qids = np.array([r[id_col] for r in rows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if qm.size == 0:
+        return qids, qm.reshape(0, 0)
+    if not normalize:
+        return qids, qm
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     return qids, qn
 
@@ -206,13 +211,23 @@ def lsh_topk(
     )
     if n_probes > 0:
         spark = embeddings.sparkSession
-        qids, qn = _collect_queries(embeddings, query_ids, id_col, vec_col)
-        dim = qn.shape[1]
-        qi, qb, qk = _probe_keys(qn, _hyperplanes(n_bits, dim, seed), bands, n_probes)
+        # RAW query vectors: the index kernel projects unnormalized
+        # vectors, and sign + margin ORDERING are scale-invariant, so
+        # skipping normalization gives bit-for-bit parity with the
+        # kernel's base keys and avoids NaN margins on a zero vector.
+        qids, qm = _collect_queries(embeddings, query_ids, id_col, vec_col,
+                                    normalize=False)
+        if len(qids) == 0:
+            qi = qb = qk = np.empty(0, dtype=np.int64)
+        else:
+            qi, qb, qk = _probe_keys(
+                qm, _hyperplanes(n_bits, qm.shape[1], seed), bands, n_probes
+            )
         qs = spark.createDataFrame(
             pd.DataFrame(
                 {"query_id": qids[qi], "band": qb.astype(np.int32), "key": qk}
-            )
+            ),
+            schema="query_id long, band int, key long",
         ).distinct()
     else:
         qs = sigs.filter(F.col("vec_id").isin(query_ids)).select(

@@ -58,6 +58,15 @@ def get_spark(
     # import re-applies mallopt (see _pin_malloc_arenas).
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 29))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 29))
+    # One BLAS thread per Python worker: every BLAS-heavy kernel in this
+    # engine (minhash verify sgemm, cosine top-k, IVF partials) already
+    # runs `cores`-way data-parallel, so OpenBLAS' own threading (up to
+    # 4-8 threads per worker on this box) only oversubscribes the CPUs —
+    # measured 259 Gflop/s multi vs 56 Gflop/s x 32 workers sequential.
+    # Workers inherit this from the JVM, which inherits it from here;
+    # set before the JVM starts, overridable by the environment.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

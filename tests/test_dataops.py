@@ -103,19 +103,20 @@ def test_minhash_verify_route_parity(spark, docs, monkeypatch):
             for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5, **kw).collect()
         )
 
-    calls = {"bitset": 0}
-    real = dd._bitset_from_csr
+    routes = []
+    real = dd._fused_verify_route
 
     def spy(*a, **kw):
-        calls["bitset"] += 1
-        return real(*a, **kw)
+        r = real(*a, **kw)
+        routes.append(r)
+        return r
 
-    monkeypatch.setattr(dd, "_bitset_from_csr", spy)
+    monkeypatch.setattr(dd, "_fused_verify_route", spy)
     bitset = run()
-    assert calls["bitset"] == 1, "tiny corpus must take the bitset route"
+    assert routes == ["bitset"], "tiny corpus must take the bitset route"
     monkeypatch.setattr(dd, "_MAX_BITSET_RANKS", 0)
     csr = run()
-    assert calls["bitset"] == 1, "_MAX_BITSET_RANKS=0 must fall back to the CSR kernel"
+    assert routes == ["bitset", "csr"], "_MAX_BITSET_RANKS=0 must fall back to the CSR kernel"
     distributed = run(max_shingle_broadcast_bytes=0)
     assert bitset == csr == distributed
     assert len(bitset) > 0
