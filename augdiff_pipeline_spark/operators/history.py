@@ -55,26 +55,23 @@ def dedup_batch_union(rows: DataFrame) -> DataFrame:
     )
 
 
-def _top1(df: DataFrame, flag_col: str, out_name: str) -> DataFrame:
-    """Latest row (timestamp desc) per id among rows where ``flag_col``."""
-    w = Window.partitionBy("id").orderBy(F.col("timestamp").desc(), F.col("version").desc())
-    return (
-        df.filter(F.col(flag_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("id"), F.col("row").alias(out_name))
-    )
-
-
 def _histories(df: DataFrame, win_flag: str, before_flag: str) -> DataFrame:
     """(id, in_row, before_row) from per-row boolean predicate columns
-    (both already conjoined with completeness)."""
-    ids = df.select("id").distinct()
-    in_rows = _top1(df, win_flag, "in_row")
-    before_rows = _top1(df, before_flag, "before_row")
-    return (
-        ids.join(in_rows, "id", "left")
-        .join(before_rows, "id", "left")
+    (both already conjoined with completeness).
+
+    One hash aggregation: ``max_by(row, struct(timestamp, version))``
+    over the flagged rows per side (max_by ignores rows whose ordering
+    expression is NULL, so the ``when`` masks select each side's rows;
+    ids where neither flag holds still group and yield (id, null,
+    null)).  Replaces the round-5 distinct + two windows + two joins —
+    four exchanges and a join for what one partial-aggregated groupBy
+    answers.  Equivalent because (timestamp, version) is unique per id
+    within a deduped single-type frame, so the old row_number order and
+    the struct max pick the same row."""
+    order = F.struct(F.col("timestamp"), F.col("version"))
+    return df.groupBy("id").agg(
+        F.max_by(F.col("row"), F.when(F.col(win_flag), order)).alias("in_row"),
+        F.max_by(F.col("row"), F.when(F.col(before_flag), order)).alias("before_row"),
     )
 
 
@@ -290,25 +287,38 @@ def _empty_history(spark) -> DataFrame:
     return spark.createDataFrame([], HISTORY_SCHEMA)
 
 
-def all_histories(rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, set]:
+def all_histories(rows: DataFrame,
+                  present_hint: set | None = None
+                  ) -> tuple[DataFrame, DataFrame, DataFrame, set]:
     """(node_hist, way_hist, rel_hist, present_types) from the deduped
     batch∪state rows.  ``present_types`` ⊆ {node, way, relation} lets the
     caller skip downstream per-type work (way/relation rendering) without
     re-probing the frames.
 
-    Type-emptiness early-exit: one cheap aggregate over the checkpointed
-    rows decides which builders run at all — most minutely batches touch
-    no relation (and node-only batches touch no way), and each skipped
-    builder skips several jobs (its own checkpoints, and for relations
-    the member-table checkpoints + fixpoint machinery).  The empty
-    history is a LOCAL relation, so downstream emptiness probes cost
-    nothing."""
+    Type-emptiness early-exit: which builders run at all is decided by
+    ``present_hint`` when the caller already knows a type superset
+    driver-side (the incremental closure's small path holds every
+    batch/fetch key as a packed (id<<2)|type long, so the hint costs
+    zero jobs; a superset is safe — a hinted-but-empty type just builds
+    an empty history), else by one cheap distinct aggregate.  Most
+    minutely batches touch no relation (and node-only batches touch no
+    way), and each skipped builder skips several jobs (its own
+    checkpoints, and for relations the member-table checkpoints +
+    fixpoint machinery).  For single-type (node-only) batches the rows
+    frame has exactly one consumer, so its checkpoint is skipped too —
+    the whole histories stage is then ONE job."""
     spark = rows.sparkSession
-    rows = rows.localCheckpoint(eager=True)
-    present = {
-        r["type"]
-        for r in rows.select("type").distinct().collect()
-    }
+    if present_hint is not None:
+        present = set(present_hint)
+    else:
+        rows = rows.localCheckpoint(eager=True)
+        present = {
+            r["type"]
+            for r in rows.select("type").distinct().collect()
+        }
+    multi_consumer = bool(present & {"way", "relation"})
+    if present_hint is not None and multi_consumer:
+        rows = rows.localCheckpoint(eager=True)
     nh = node_histories(rows).localCheckpoint(eager=True)
     if "way" in present:
         wh = way_histories(rows, nh).localCheckpoint(eager=True)

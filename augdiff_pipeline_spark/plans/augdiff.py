@@ -70,10 +70,21 @@ def compute_batch_features(
             # new_edges is a local relation — already materialized.
             new_edges = new_edges.localCheckpoint(eager=True)
     with timer.time("histories"):
+        present_hint = None
         if fetch_keys is not None:
             # small-closure path: the fetch-key set rode the closure's
-            # own Arrow collect — zero extra probe jobs
+            # own Arrow collect — zero extra probe jobs; the packed keys
+            # (id << 2 | type_code) also give the type set driver-side,
+            # a safe SUPERSET of the types in rows (batch types ⊆ update
+            # keys ⊆ fetch keys, fetched rows' keys ⊆ fetch keys), so
+            # the per-batch distinct-type probe job is skipped — for the
+            # common node-only minutely batch the hint is exact
             fetched = state.fetch_keys(spark, fetch_keys)
+            from ..schemas import CODE_TYPES
+
+            present_hint = {
+                CODE_TYPES[k & 3] for k in fetch_keys if (k & 3) in CODE_TYPES
+            }
         else:
             pairs = needed_pairs(batch_df, all_edges)
             fetched = state.fetch_pairs(spark, pairs)
@@ -83,7 +94,7 @@ def compute_batch_features(
             .unionByName(fetched.select(*OSM_COLUMNS).withColumn("in_batch", F.lit(False)))
         )
         rows = history.dedup_batch_union(rows)
-        nh, wh, rh, present = history.all_histories(rows)  # checkpointed inside
+        nh, wh, rh, present = history.all_histories(rows, present_hint=present_hint)
 
     with timer.time("render"):
         node_pts = render.node_points(nh).localCheckpoint(eager=True)

@@ -22,6 +22,26 @@ from ..sources.catalog import SnapshotTable
 COMMIT_STAGE = "commit"
 
 
+def _encode_ranges(seqs: set[int]) -> list[list[int]]:
+    """Sorted committed-seq set as closed [start, end] ranges — the
+    compact manifest-summary form (minutely seqs are near-contiguous,
+    so ~0.5M seqs/year collapse to a handful of intervals)."""
+    out: list[list[int]] = []
+    for s in sorted(seqs):
+        if out and s == out[-1][1] + 1:
+            out[-1][1] = s
+        else:
+            out.append([s, s])
+    return out
+
+
+def _decode_ranges(ranges) -> set[int]:
+    seqs: set[int] = set()
+    for a, b in ranges:
+        seqs.update(range(int(a), int(b) + 1))
+    return seqs
+
+
 def _arrow_lineage_schema():
     import pyarrow as pa
 
@@ -130,6 +150,12 @@ class LineageLog:
             self._pending_lineage.append((seq, stage, -1, input_snapshot, output_snapshot, 0))
 
     def commit_seq(self, spark: SparkSession, seq: int, snapshots: dict[str, int | None]) -> int:
+        # the committed-seq cache must be complete before this commit is
+        # folded in (the compaction summary below persists the FULL set
+        # as ranges); first call on a resumed log loads it — from the
+        # manifest when a ranges summary exists, O(manifest), see
+        # committed_seqs
+        self.committed_seqs(spark)
         self._pending_lineage.append(
             (seq, COMMIT_STAGE, -1, snapshots.get("state"), snapshots.get("index"), None)
         )
@@ -158,9 +184,15 @@ class LineageLog:
         # restart's committed_seqs() scan unions all of them.  The
         # compaction lands after this seq's commit marker, so the tag is
         # already-committed metadata (safe even if compaction crashes).
+        # the compaction summary carries the full committed set as
+        # ranges: restart then reads ONE manifest instead of scanning
+        # the lineage table (the set is near-contiguous minutely seqs,
+        # so a year of commits encodes to a handful of intervals)
         self.lineage.maybe_compact(
             spark, self.save_interval, self.keep_snapshots,
-            schema=LINEAGE_SCHEMA, summary={"seq": seq},
+            schema=LINEAGE_SCHEMA,
+            summary={"seq": seq,
+                     "committed_ranges": _encode_ranges(self._committed_cache or set())},
         )
         return snap
 
@@ -189,6 +221,26 @@ class LineageLog:
         if not self.lineage.exists():
             self._committed_cache = set()
             return []
+        # Manifest-first restart read (O(manifest), no Spark scan): the
+        # newest compaction summary holds the full committed set as
+        # ranges, and every later commit append's summary carries its
+        # own seq — together they reconstruct the set exactly.  Tables
+        # written before the ranges summary existed fall back to the
+        # full lineage scan.
+        snaps = self.lineage.snapshots()
+        base_idx = None
+        for i, s in enumerate(snaps):
+            if "committed_ranges" in s.summary:
+                base_idx = i
+        if base_idx is not None:
+            seqs = _decode_ranges(snaps[base_idx].summary["committed_ranges"])
+            for s in snaps[base_idx + 1:]:
+                if (s.operation == "append"
+                        and s.summary.get("stage") == COMMIT_STAGE
+                        and s.summary.get("seq") is not None):
+                    seqs.add(int(s.summary["seq"]))
+            self._committed_cache = seqs
+            return sorted(seqs)
         df = self.lineage.read(spark, schema=LINEAGE_SCHEMA)
         rows = df.filter(F.col("stage") == COMMIT_STAGE).select("seq").distinct().collect()
         self._committed_cache = {r["seq"] for r in rows}

@@ -247,3 +247,34 @@ def test_orc_state_table_roundtrip_and_pruning(spark, tmp_path):
     assert got == exp
     plan = state.fetch_pairs(spark, keys)._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "In(id" in plan.replace(" ", "").replace("[", "(")
+
+
+def test_lineage_restart_reads_manifest_not_table(spark, tmp_path, monkeypatch):
+    """After the first compaction, a fresh LineageLog on the same path
+    must reconstruct the committed-seq set from the manifest alone
+    (compaction summary ranges + later commit-append summaries) —
+    restart-time lineage cost is O(manifest), not a table scan (round-6:
+    the committed set grows ~0.5M seqs/year at minutely cadence)."""
+    from augdiff_pipeline_spark.plans.lineage import LineageLog
+    from augdiff_pipeline_spark.sources.catalog import SnapshotTable
+
+    log = LineageLog(str(tmp_path / "log"), save_interval=3, keep_snapshots=6)
+    for seq in range(1, 8):  # crosses two compaction points
+        log.record_stage(spark, seq, "diff", None)
+        log.commit_seq(spark, seq, {"state": None, "index": None})
+    assert any(
+        "committed_ranges" in s.summary for s in log.lineage.snapshots()
+    ), "compaction summary must carry the committed ranges"
+
+    fresh = LineageLog(str(tmp_path / "log"), save_interval=3, keep_snapshots=6)
+
+    def no_read(self, *a, **kw):
+        raise AssertionError("restart read the lineage TABLE; manifest expected")
+
+    monkeypatch.setattr(SnapshotTable, "read", no_read)
+    assert fresh.committed_seqs(spark) == list(range(1, 8))
+    monkeypatch.undo()
+    # and the resumed log keeps committing correctly
+    fresh.record_stage(spark, 8, "diff", None)
+    fresh.commit_seq(spark, 8, {"state": None, "index": None})
+    assert fresh.last_committed(spark) == 8
