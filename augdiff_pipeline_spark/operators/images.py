@@ -64,7 +64,10 @@ def encode_batch(stack: np.ndarray, fmt: str) -> list[bytes]:
     header = _MAGIC + struct.pack("<BHH", flag, w, h)
     flat = np.ascontiguousarray(stack).reshape(n, -1)
     comp = zlib.compress
-    return [header + comp(flat[i].tobytes(), 6) for i in range(n)]
+    # zlib.compress takes any C-contiguous buffer: passing the row view
+    # directly skips one full-stack .tobytes() copy per tile (output
+    # bytes identical)
+    return [header + comp(flat[i], 6) for i in range(n)]
 
 
 def decode(data: bytes) -> np.ndarray:

@@ -66,6 +66,23 @@ def cut_tiles(
     rows; asserted in tests).  Production always uses the batched
     per-(shape, fmt) stacked kernel."""
     parts = [F.col("tile_key"), F.col("salt")]
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    # A blob slice inherited from a multi-GB source scan can arrive in
+    # thousands of near-empty partitions (4 MB splits at sf1.0); the
+    # salted exchange below would then run thousands of fixed-cost map
+    # tasks for a few rows each.  coalesce is narrow (no shuffle, rows
+    # unchanged) and only fires on pathological over-partitioning.
+    if assigned.rdd.getNumPartitions() > 4 * par:
+        assigned = assigned.coalesce(2 * par)
+    if shuffle_partitions is not None:
+        # scale-adaptive clamp: the caller's partition count is tuned
+        # for a target core count; running the same code at FEWER cores
+        # (the N-core leg of a scaling run, a small executor) with the
+        # full count just fragments the Arrow batches — each mapInPandas
+        # task pays ~100 ms fixed, and the per-(shape,fmt) stacked
+        # kernel loses its batching.  (tile_key, salt) distribution is a
+        # pure perf choice: output rows are identical at any count.
+        shuffle_partitions = min(shuffle_partitions, 4 * par)
     df = assigned.repartition(*parts) if shuffle_partitions is None else assigned.repartition(
         shuffle_partitions, *parts
     )

@@ -108,8 +108,20 @@ def main() -> None:
         "efficiency_raw": raw,
         "sf": lo["sf"],
         "n_images": lo["n_images"],
+        # calibration anchor at BOTH core counts and every outer rep
+        # (VERDICT r5 #3): host drift between the two JVMs is visible in
+        # the artifact itself — if calib moved 2x between legs, so did
+        # every other number in that leg
+        "calib_N": [r["extras"]["calib_jvm_sec"] for r in lo_runs],
+        "calib_4N": [r["extras"]["calib_jvm_sec"] for r in hi_runs],
+        "queries_N_runs": {q: [r["queries"][q] for r in lo_runs] for q in HEADLINE},
+        "queries_4N_runs": {q: [r["queries"][q] for r in hi_runs] for q in HEADLINE},
     }
     print(json.dumps(result))
+    out = os.environ.get("SPARK_GRAFT_SCALING_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
     if "--write-md" in sys.argv:
         _write_md(result)
 
