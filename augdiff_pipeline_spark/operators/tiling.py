@@ -68,12 +68,18 @@ def cut_tiles(
     parts = [F.col("tile_key"), F.col("salt")]
     par = assigned.sparkSession.sparkContext.defaultParallelism
     # A blob slice inherited from a multi-GB source scan can arrive in
-    # thousands of near-empty partitions (4 MB splits at sf1.0); the
-    # salted exchange below would then run thousands of fixed-cost map
-    # tasks for a few rows each.  coalesce is narrow (no shuffle, rows
-    # unchanged) and only fires on pathological over-partitioning.
+    # thousands of near-empty partitions (4 MB splits at sf1.0 leave
+    # ~5.1k partitions for 10k rows); the salted exchange below would
+    # then run thousands of fixed-cost map tasks for a few rows each —
+    # measured 1.75s vs 0.92s min-of-5 same-session at sf1.0.  coalesce
+    # is narrow (rows unchanged) and only fires on pathological
+    # over-partitioning; the LAZY localCheckpoint is the barrier that
+    # keeps Catalyst's CollapseRepartition from eliding the coalesce
+    # into the exchange (a bare coalesce under repartition is a no-op
+    # after optimization — verified in the round-6 plan capture), and
+    # its blocks are reclaimed by the ContextCleaner with the frame.
     if assigned.rdd.getNumPartitions() > 4 * par:
-        assigned = assigned.coalesce(2 * par)
+        assigned = assigned.coalesce(2 * par).localCheckpoint(eager=False)
     if shuffle_partitions is not None:
         # scale-adaptive clamp: the caller's partition count is tuned
         # for a target core count; running the same code at FEWER cores

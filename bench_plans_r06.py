@@ -21,7 +21,7 @@ import sys
 from contextlib import redirect_stdout
 
 TAG = os.environ.get("SPARK_GRAFT_PLANS_TAG", "after")
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+OUT = os.environ.get("SPARK_GRAFT_PLANS_OUT") or os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
 SF_DIR = "/root/testdata/sf0.1"
 
 
