@@ -353,6 +353,13 @@ def _self_join_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
 # and re-shingling per Arrow batch (fully distributed, no driver state).
 DEFAULT_MAX_SHINGLE_BROADCAST_BYTES = 512 * 1024 * 1024
 
+# Below this many estimated shingle bytes the fused plan builds its
+# verify state (rank CSR / bitset) on the driver from one Arrow pull —
+# at that size the serial build is sub-100ms and the distributed
+# dictionary+pack jobs would cost more than they save; above it the
+# build is distributed (round 6, guide §2 scale-adaptivity).
+_DRIVER_BUILD_BYTES = 32 * 1024 * 1024
+
 
 def _csr_ranks(hv) -> tuple[np.ndarray, int]:
     """Dense int32 ranks of a CSR hash buffer (and the distinct count),
@@ -565,7 +572,8 @@ def _reorder_csr(ids: np.ndarray, flat: np.ndarray, cnts: np.ndarray):
 def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
                          jaccard_threshold: float, text_col: str, id_col: str,
                          max_bucket: int | None,
-                         budget: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES) -> DataFrame:
+                         budget: int = DEFAULT_MAX_SHINGLE_BROADCAST_BYTES,
+                         est_bytes: int | None = None) -> DataFrame:
     """Under-broadcast-budget minhash plan: ONE pass over the docs.
 
     A single kernel shingles each doc once and emits (doc_id,
@@ -698,23 +706,36 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
     _pool = ThreadPoolExecutor(max_workers=1)
     _cells_fut = _pool.submit(lambda: cells_plan.localCheckpoint(eager=True))
 
-    # distributed dictionary: explode + distinct runs with map-side
-    # partial aggregation, so the shuffle carries ~per-partition-unique
-    # hashes and the driver receives exactly the n_ranks sorted uniques
-    # — never the 2x-bigger raw CSR of round 5
-    dict_tbl = (
-        combined.select(F.explode("hashes").alias("h")).distinct().toArrow()
-    )
-    n_ranks = dict_tbl.num_rows
-    if _dbg:
-        print(f"# mh_fused dict_distinct: {_time.time()-_t0:.1f}s "
-              f"(n_ranks={n_ranks})", file=_sys.stderr); _t0 = _time.time()
-
-    use_fallback = n_ranks * 8 > budget
-    if use_fallback:
+    # Scale-adaptive verify-state build (guide §2: adapt to input size,
+    # not to one tuned scale).  Below ~32 MiB of estimated shingle
+    # bytes the whole corpus CSR collects in one cheap Arrow pull and
+    # the serial rank/bitset build is sub-100 ms — the two distributed
+    # dictionary/pack jobs would cost MORE than they save (measured
+    # +0.4 s at the 5k-doc contract corpus).  Above it, the dictionary
+    # and rank/pack work runs executor-side and the driver's serial
+    # section shrinks to an argsort gather (the round-5 serial rank
+    # build was 16-22 s at 200k docs).
+    driver_build = est_bytes is not None and est_bytes <= _DRIVER_BUILD_BYTES
+    dict_tbl = None
+    if not driver_build:
+        # distributed dictionary: explode + distinct runs with map-side
+        # partial aggregation, so the shuffle carries ~per-partition-
+        # unique hashes and the driver receives exactly the n_ranks
+        # sorted uniques — never the 2x-bigger raw CSR of round 5
+        dict_tbl = (
+            combined.select(F.explode("hashes").alias("h")).distinct().toArrow()
+        )
+        if _dbg:
+            print(f"# mh_fused dict_distinct: {_time.time()-_t0:.1f}s "
+                  f"(n_ranks={dict_tbl.num_rows})",
+                  file=_sys.stderr); _t0 = _time.time()
         # dictionary alone would blow the broadcast budget (a corpus of
-        # near-unique shingles) — round-5 driver-side path, with its
-        # documented sizing assert
+        # near-unique shingles): fall back to the driver-side build,
+        # which is no worse there
+        driver_build = dict_tbl.num_rows * 8 > budget
+
+    if driver_build:
+        # round-5 driver-side path, with its documented sizing assert
         tbl = combined.select("doc_id", "hashes").toArrow()
         ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         hcol = tbl["hashes"].combine_chunks()
@@ -735,12 +756,18 @@ def _minhash_pairs_fused(docs: DataFrame, num_perm: int, bands: int,
         )
         ids_s, ranks_s, offs_s, cnts_s, n_ranks = _sorted_csr_from_arrow(ids, hv_all, cnts)
         del tbl, hcol, hv_all, ids, cnts
-        route = "csr"
-        bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
+        route = _fused_verify_route(len(ids_s), n_ranks, budget)
+        if route == "bitset":
+            bitmat = _bitset_from_csr(ranks_s, offs_s, cnts_s, n_ranks)
+            del ranks_s, offs_s
+            bc = spark.sparkContext.broadcast((ids_s, bitmat, cnts_s))
+        else:
+            bc = spark.sparkContext.broadcast((ids_s, ranks_s, offs_s, cnts_s, n_ranks))
         if _dbg:
-            print(f"# mh_fused driver_fallback_build: {_time.time()-_t0:.1f}s",
+            print(f"# mh_fused driver_build({route}): {_time.time()-_t0:.1f}s",
                   file=_sys.stderr); _t0 = _time.time()
     else:
+        n_ranks = dict_tbl.num_rows
         dict64 = np.sort(
             dict_tbl["h"].combine_chunks()
             .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
@@ -1052,7 +1079,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_perm: int = 128, bands: int = 64,
     if est <= max_shingle_broadcast_bytes:
         return _minhash_pairs_fused(docs, num_perm, bands, jaccard_threshold,
                                     text_col, id_col, max_bucket,
-                                    budget=max_shingle_broadcast_bytes)
+                                    budget=max_shingle_broadcast_bytes,
+                                    est_bytes=est)
 
     # --- over-budget: fully distributed, no corpus state anywhere ---
     # candidate pairs via ONE shuffle of the signature rows (groupBy +
