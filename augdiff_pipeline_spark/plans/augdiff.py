@@ -97,7 +97,15 @@ def compute_batch_features(
         nh, wh, rh, present = history.all_histories(rows, present_hint=present_hint)
 
     with timer.time("render"):
-        node_pts = render.node_points(nh).localCheckpoint(eager=True)
+        # node_points is a pure projection over the CHECKPOINTED nh; its
+        # own eager checkpoint only pays off when the way/relation render
+        # chains consume it repeatedly (explode joins + both WKB modes).
+        # For the common node-only minutely batch its consumers are two
+        # lazy point-WKB projections folded into the emit job — skipping
+        # the checkpoint makes the render stage zero jobs there.
+        node_pts = render.node_points(nh)
+        if present & {"way", "relation"}:
+            node_pts = node_pts.localCheckpoint(eager=True)
         empty_wkb = spark.createDataFrame([], "id long, wkb binary")
         # per-type skip (driven by all_histories' one presence probe —
         # no per-frame isEmpty jobs): most minutely batches touch no
